@@ -1,0 +1,92 @@
+"""Channels-last ND convolution for TPU.
+
+Replaces the reference's im2col/cuDNN convolution stack
+(``src/caffe/layers/{base_conv_layer,conv_layer,cudnn_conv_layer}.{cpp,cu}``,
+``util/im2col.cpp:91-269``) with ``lax.conv_general_dilated`` in NHWC/NDHWC
+layout so XLA tiles directly onto the MXU.  Weight layout is HWIO (2D) /
+DHWIO (3D): contiguous in the input-channel/lane dims the MXU wants.
+
+Caffe semantics preserved:
+- per-axis ``kernel_size/stride/pad/dilation`` repeated fields
+  (caffe.proto:506-555), broadcast from scalars;
+- grouped convolution via ``feature_group_count``;
+- output dim ``floor((in + 2p - k)/s) + 1`` == XLA explicit (p, p) padding;
+- optional bias.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from eco_tpu.utils.shapes import normalize_spatial_param
+
+_DIMNUMS = {
+    1: ("NWC", "WIO", "NWC"),
+    2: ("NHWC", "HWIO", "NHWC"),
+    3: ("NDHWC", "DHWIO", "NDHWC"),
+}
+
+
+def conv_nd(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    stride=1,
+    pad=0,
+    dilation=1,
+    groups: int = 1,
+    transposed: bool = False,
+    accum_dtype=jnp.float32,
+) -> jax.Array:
+    """ND convolution on a channels-last tensor.
+
+    ``x``: (N, *spatial, C_in); ``w``: (*spatial_k, C_in/groups, C_out).
+    Accumulates in ``accum_dtype`` (f32 on the MXU even for bf16 inputs) and
+    casts back to ``x.dtype``.
+    """
+    num_spatial = x.ndim - 2
+    stride = normalize_spatial_param(stride, num_spatial, default=1)
+    pad = normalize_spatial_param(pad, num_spatial, default=0)
+    dilation = normalize_spatial_param(dilation, num_spatial, default=1)
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, _DIMNUMS[num_spatial])
+    padding = [(p, p) for p in pad]
+    if transposed:
+        # Deconvolution (reference deconv_layer.cpp): conv_transpose with the
+        # same per-axis geometry.
+        y = lax.conv_transpose(
+            x,
+            w,
+            strides=stride,
+            padding=padding,
+            rhs_dilation=dilation,
+            dimension_numbers=dn,
+            precision=lax.Precision.DEFAULT,
+        )
+    else:
+        y = lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=stride,
+            padding=padding,
+            rhs_dilation=dilation,
+            dimension_numbers=dn,
+            feature_group_count=groups,
+            preferred_element_type=accum_dtype,
+        )
+    y = y.astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def conv2d(x, w, b=None, *, stride=1, pad=0, dilation=1, groups=1):
+    assert x.ndim == 4, x.shape
+    return conv_nd(x, w, b, stride=stride, pad=pad, dilation=dilation, groups=groups)
+
+
+def conv3d(x, w, b=None, *, stride=1, pad=0, dilation=1, groups=1):
+    assert x.ndim == 5, x.shape
+    return conv_nd(x, w, b, stride=stride, pad=pad, dilation=dilation, groups=groups)

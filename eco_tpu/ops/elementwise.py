@@ -1,0 +1,78 @@
+"""Elementwise / structural ops: ReLU, dropout, eltwise, concat.
+
+Reference parity:
+- ReLU with optional ``negative_slope`` (relu_layer.cpp);
+- inverted dropout -- Caffe scales kept units by 1/(1-ratio) at TRAIN and is
+  identity at TEST (dropout_layer.cpp);
+- Eltwise PROD/SUM/MAX plus the fork's STOCHASTIC_SUM, which at TRAIN drops
+  every bottom but one chosen uniformly at random and at TEST averages
+  (eltwise_layer.cpp:101-118); ECO's residual adds are coefficient-less SUM;
+- Concat along the channel axis (logical axis 1 -> physical last axis here).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def relu(x, negative_slope: float = 0.0):
+    if negative_slope:
+        return jnp.where(x >= 0, x, negative_slope * x)
+    return jnp.maximum(x, 0)
+
+
+def dropout(x, rate: float, *, train: bool, rng: jax.Array | None = None):
+    if not train or rate <= 0.0:
+        return x
+    if rng is None:
+        raise ValueError("dropout(train=True) needs an rng key")
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
+
+
+def eltwise(
+    inputs: Sequence[jax.Array],
+    op: str = "sum",
+    coeffs: Sequence[float] | None = None,
+    *,
+    train: bool = False,
+    rng: jax.Array | None = None,
+):
+    op = op.lower()
+    if op == "prod":
+        out = inputs[0]
+        for t in inputs[1:]:
+            out = out * t
+        return out
+    if op == "max":
+        out = inputs[0]
+        for t in inputs[1:]:
+            out = jnp.maximum(out, t)
+        return out
+    if op == "sum":
+        if coeffs is None:
+            coeffs = (1.0,) * len(inputs)
+        out = None
+        for c, t in zip(coeffs, inputs):
+            term = t if c == 1.0 else c * t
+            out = term if out is None else out + term
+        return out
+    if op == "stochastic_sum":
+        n = len(inputs)
+        if train:
+            if rng is None:
+                raise ValueError("stochastic_sum(train=True) needs an rng key")
+            idx = jax.random.randint(rng, (), 0, n)
+            stacked = jnp.stack(inputs)
+            return stacked[idx]
+        return sum(inputs) / float(n)
+    raise ValueError(f"unknown eltwise op {op!r}")
+
+
+def concat_channels(inputs: Sequence[jax.Array]):
+    """Caffe Concat(axis=1) == channels-last concat on the final axis."""
+    return jnp.concatenate(list(inputs), axis=-1)

@@ -1,0 +1,96 @@
+"""Caffe-semantics ND pooling on channels-last tensors.
+
+Replaces the reference pooling stack
+(``src/caffe/layers/pooling_layer.{cpp,cu}``, ``cudnn_pooling_layer.cpp``)
+with ``lax.reduce_window``.  Caffe specifics reproduced exactly:
+
+- **ceil-mode output dims** with the "last window must start inside the
+  padded image" clip (pooling_layer.cpp:84-111) -- implemented by computing
+  the required asymmetric high padding statically;
+- **AVE divisor** = window area clipped to the *padded* extent
+  (pooling_layer.cpp:156-164), so border zeros count in the denominator;
+  computed as a static per-position divisor grid (outer product of per-axis
+  divisors), so the TPU sees one multiply by a constant plane;
+- MAX pads with -inf (windows never extend past ``in + pad`` thanks to the
+  clip, matching Caffe's clip-to-image max);
+- ``global_pooling`` (kernel = whole spatial extent, e.g. the ECO ``[4,7,7]``
+  3D head pool, ECO_Lite.prototxt:1833-1842);
+- ND: any number of spatial axes (2D Inception pools, 3D head pool, and the
+  (16,1) segment-consensus pool of ECO-Full, ECO_full.prototxt:4803).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from eco_tpu.utils.shapes import (
+    caffe_avg_pool_divisors,
+    caffe_pool_out_dim,
+    normalize_spatial_param,
+)
+
+
+def pool_nd(
+    x: jax.Array,
+    *,
+    kernel=None,
+    stride=1,
+    pad=0,
+    mode: str = "max",
+    global_pooling: bool = False,
+) -> jax.Array:
+    """Pool over the spatial axes of a channels-last (N, *spatial, C) tensor."""
+    num_spatial = x.ndim - 2
+    spatial = x.shape[1:-1]
+    if global_pooling:
+        kernel = spatial
+        stride = (1,) * num_spatial
+        pad = (0,) * num_spatial
+    kernel = normalize_spatial_param(kernel, num_spatial)
+    stride = normalize_spatial_param(stride, num_spatial, default=1)
+    pad = normalize_spatial_param(pad, num_spatial, default=0)
+
+    pad_cfg = []
+    divisors = []
+    for size, k, s, p in zip(spatial, kernel, stride, pad):
+        out, pad_hi = caffe_pool_out_dim(size, k, s, p)
+        pad_cfg.append((p, pad_hi))
+        divisors.append(caffe_avg_pool_divisors(size, k, s, p))
+
+    window = (1,) + tuple(kernel) + (1,)
+    strides = (1,) + tuple(stride) + (1,)
+    padding = [(0, 0)] + pad_cfg + [(0, 0)]
+
+    mode = mode.lower()
+    if mode == "max":
+        init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+        return lax.reduce_window(x, init, lax.max, window, strides, padding)
+    if mode in ("ave", "avg", "mean"):
+        acc = lax.reduce_window(
+            x.astype(jnp.float32), 0.0, lax.add, window, strides, padding
+        )
+        div = np.ones([len(d) for d in divisors], dtype=np.float32)
+        for axis, d in enumerate(divisors):
+            shape = [1] * num_spatial
+            shape[axis] = len(d)
+            div = div * np.asarray(d, dtype=np.float32).reshape(shape)
+        div = jnp.asarray(div.reshape((1,) + div.shape + (1,)))
+        return (acc / div).astype(x.dtype)
+    raise ValueError(f"unknown pool mode {mode!r} (STOCHASTIC is train-only legacy)")
+
+
+def max_pool(x, kernel, stride=1, pad=0):
+    return pool_nd(x, kernel=kernel, stride=stride, pad=pad, mode="max")
+
+
+def avg_pool(x, kernel, stride=1, pad=0):
+    return pool_nd(x, kernel=kernel, stride=stride, pad=pad, mode="ave")
+
+
+def global_avg_pool(x, keepdims: bool = False):
+    """Global spatial mean -- the (4,7,7) head pool collapses to one mean."""
+    axes = tuple(range(1, x.ndim - 1))
+    return jnp.mean(x, axis=axes, keepdims=keepdims, dtype=jnp.float32).astype(x.dtype)

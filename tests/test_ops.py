@@ -1,0 +1,309 @@
+"""Op-level parity tests against independent references (torch CPU / numpy).
+
+Mirrors the reference's gradient-checked layer tests
+(caffe_3d/src/caffe/test/test_convolution_layer.cpp etc.) but with torch as
+the independent oracle and jax.grad for analytic/numeric agreement.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from eco_tpu import ops
+
+RNG = np.random.default_rng(0)
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+# ---------------------------------------------------------------- conv
+
+
+@pytest.mark.parametrize(
+    "cin,cout,k,s,p,hw",
+    [(3, 8, 3, 1, 1, 14), (8, 16, 7, 2, 3, 28), (4, 4, 1, 1, 0, 9), (6, 8, 3, 2, 1, 15)],
+)
+def test_conv2d_matches_torch(cin, cout, k, s, p, hw):
+    x = RNG.standard_normal((2, hw, hw, cin), dtype=np.float32)
+    w = RNG.standard_normal((k, k, cin, cout), dtype=np.float32) * 0.1
+    b = RNG.standard_normal((cout,), dtype=np.float32)
+    y = ops.conv2d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), stride=s, pad=p)
+    ref = F.conv2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        torch.from_numpy(w).permute(3, 2, 0, 1),
+        torch.from_numpy(b),
+        stride=s,
+        padding=p,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(_np(y), ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("s", [1, 2])
+def test_conv3d_matches_torch(s):
+    x = RNG.standard_normal((2, 8, 10, 10, 6), dtype=np.float32)
+    w = RNG.standard_normal((3, 3, 3, 6, 12), dtype=np.float32) * 0.1
+    y = ops.conv3d(jnp.asarray(x), jnp.asarray(w), stride=s, pad=1)
+    ref = F.conv3d(
+        torch.from_numpy(x).permute(0, 4, 1, 2, 3),
+        torch.from_numpy(w).permute(4, 3, 0, 1, 2),
+        stride=s,
+        padding=1,
+    ).permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(_np(y), ref, rtol=3e-4, atol=3e-4)
+
+
+def test_grouped_conv_matches_torch():
+    x = RNG.standard_normal((2, 8, 8, 8), dtype=np.float32)
+    w = RNG.standard_normal((3, 3, 4, 16), dtype=np.float32) * 0.1
+    y = ops.conv2d(jnp.asarray(x), jnp.asarray(w), stride=1, pad=1, groups=2)
+    ref = F.conv2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        torch.from_numpy(w).permute(3, 2, 0, 1),
+        stride=1,
+        padding=1,
+        groups=2,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(_np(y), ref, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------- pooling
+
+
+def _caffe_pool_ref(x_nchw, k, s, p, mode):
+    """Literal transcription of the Caffe pooling formulas as a numpy oracle
+    (semantics of reference pooling_layer.cpp:84-170, re-derived)."""
+    n, c, h, w = x_nchw.shape
+    import math
+
+    def odim(size, kk):
+        out = int(math.ceil((size + 2 * p - kk) / s)) + 1
+        if p > 0 and (out - 1) * s >= size + p:
+            out -= 1
+        return out
+
+    kh, kw = (k, k) if isinstance(k, int) else k
+    ph, pw = odim(h, kh), odim(w, kw)
+    out = np.zeros((n, c, ph, pw), dtype=np.float32)
+    for i in range(ph):
+        for j in range(pw):
+            hs, ws = i * s - p, j * s - p
+            he, we = min(hs + kh, h + p), min(ws + kw, w + p)
+            pool_size = (he - hs) * (we - ws)
+            hs_, ws_ = max(hs, 0), max(ws, 0)
+            he_, we_ = min(he, h), min(we, w)
+            window = x_nchw[:, :, hs_:he_, ws_:we_]
+            if mode == "max":
+                out[:, :, i, j] = window.max(axis=(2, 3))
+            else:
+                out[:, :, i, j] = window.sum(axis=(2, 3)) / pool_size
+    return out
+
+
+@pytest.mark.parametrize(
+    "mode,k,s,p,hw",
+    [
+        ("max", 3, 2, 0, 112),  # pool1_3x3_s2 (ceil mode: 112 -> 56)
+        ("max", 3, 2, 0, 28),
+        ("ave", 3, 1, 1, 28),  # inception avg pool branches
+        ("max", 3, 2, 1, 15),
+        ("ave", 3, 2, 1, 15),
+        ("ave", 7, 1, 0, 7),  # global_pool2D
+    ],
+)
+def test_pool2d_matches_caffe_semantics(mode, k, s, p, hw):
+    x = RNG.standard_normal((2, 5, hw, hw), dtype=np.float32)
+    got = ops.pool_nd(
+        jnp.asarray(np.moveaxis(x, 1, -1)), kernel=k, stride=s, pad=p, mode=mode
+    )
+    ref = _caffe_pool_ref(x, k, s, p, mode)
+    np.testing.assert_allclose(np.moveaxis(_np(got), -1, 1), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pool_ceil_mode_shape():
+    # 112 -> ceil((112-3)/2)+1 = 56 (floor would give 55 remainder handling)
+    x = jnp.zeros((1, 112, 112, 4))
+    assert ops.max_pool(x, 3, 2, 0).shape == (1, 56, 56, 4)
+    x = jnp.zeros((1, 56, 56, 4))
+    assert ops.max_pool(x, 3, 2, 0).shape == (1, 28, 28, 4)
+
+
+def test_global_pool_3d():
+    x = RNG.standard_normal((2, 4, 7, 7, 512), dtype=np.float32)
+    got = ops.pool_nd(jnp.asarray(x), global_pooling=True, mode="ave")
+    assert got.shape == (2, 1, 1, 1, 512)
+    np.testing.assert_allclose(
+        _np(got)[:, 0, 0, 0], x.mean(axis=(1, 2, 3)), rtol=1e-5, atol=1e-6
+    )
+    short = ops.global_avg_pool(jnp.asarray(x))
+    np.testing.assert_allclose(_np(short), x.mean(axis=(1, 2, 3)), rtol=1e-5, atol=1e-6)
+
+
+def test_segment_consensus_pool_shape():
+    # ECO-Full: logical (N,1,16,1024) pooled with kernel (16,1) -> (N,1,1,1024).
+    x = RNG.standard_normal((3, 16, 1024, 1), dtype=np.float32)  # physical layout
+    got = ops.pool_nd(jnp.asarray(x), kernel=(16, 1), stride=1, pad=0, mode="ave")
+    assert got.shape == (3, 1, 1024, 1)
+    np.testing.assert_allclose(_np(got)[:, 0, :, 0], x.mean(axis=1)[..., 0], rtol=1e-5)
+
+
+# ---------------------------------------------------------------- BN
+
+
+def test_bn_inference_matches_torch():
+    x = RNG.standard_normal((4, 9, 9, 16), dtype=np.float32)
+    g = RNG.standard_normal((16,), dtype=np.float32)
+    b = RNG.standard_normal((16,), dtype=np.float32)
+    m = RNG.standard_normal((16,), dtype=np.float32)
+    v = RNG.random((16,), dtype=np.float32) + 0.5
+    got = ops.bn_inference(*map(jnp.asarray, (x, g, b, m, v)))
+    ref = F.batch_norm(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        torch.from_numpy(m),
+        torch.from_numpy(v),
+        torch.from_numpy(g),
+        torch.from_numpy(b),
+        training=False,
+        eps=1e-5,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(_np(got), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_bn_train_moments_and_ema():
+    x = RNG.standard_normal((8, 5, 5, 6), dtype=np.float32)
+    g = np.ones((6,), np.float32)
+    b = np.zeros((6,), np.float32)
+    rm = np.full((6,), 2.0, np.float32)
+    rv = np.full((6,), 3.0, np.float32)
+    y, nm, nv = ops.bn_train(*map(jnp.asarray, (x, g, b, rm, rv)))
+    batch_mean = x.mean(axis=(0, 1, 2))
+    batch_var = (x**2).mean(axis=(0, 1, 2)) - batch_mean**2  # biased
+    # EMA: new = 0.1*batch + 0.9*old (bn_layer.cpp:120-121 with momentum 0.9)
+    np.testing.assert_allclose(_np(nm), 0.1 * batch_mean + 0.9 * rm, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(_np(nv), 0.1 * batch_var + 0.9 * rv, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(_np(y).mean(axis=(0, 1, 2)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(_np(y).var(axis=(0, 1, 2)), 1.0, rtol=1e-2)
+
+
+def test_bn_fold_equivalence():
+    x = RNG.standard_normal((2, 7, 7, 8), dtype=np.float32)
+    w = RNG.standard_normal((3, 3, 8, 12), dtype=np.float32) * 0.2
+    bias = RNG.standard_normal((12,), dtype=np.float32)
+    g = RNG.standard_normal((12,), dtype=np.float32)
+    beta = RNG.standard_normal((12,), dtype=np.float32)
+    m = RNG.standard_normal((12,), dtype=np.float32)
+    v = RNG.random((12,), dtype=np.float32) + 0.3
+    xj = jnp.asarray(x)
+    y_ref = ops.bn_inference(
+        ops.conv2d(xj, jnp.asarray(w), jnp.asarray(bias), pad=1),
+        *map(jnp.asarray, (g, beta, m, v)),
+    )
+    scale, shift = ops.fold_scale_shift(*map(jnp.asarray, (g, beta, m, v)))
+    w_f = jnp.asarray(w) * scale[None, None, None, :]
+    b_f = jnp.asarray(bias) * scale + shift
+    y_fold = ops.conv2d(xj, w_f, b_f, pad=1)
+    np.testing.assert_allclose(_np(y_fold), _np(y_ref), rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------- misc ops
+
+
+def test_dropout_train_scaling_and_test_identity():
+    x = jnp.ones((1000, 16))
+    y = ops.dropout(x, 0.3, train=True, rng=jax.random.PRNGKey(0))
+    kept = _np(y) != 0
+    assert abs(kept.mean() - 0.7) < 0.03
+    np.testing.assert_allclose(_np(y)[kept], 1.0 / 0.7, rtol=1e-6)
+    assert ops.dropout(x, 0.3, train=False) is x
+
+
+def test_eltwise_modes():
+    a = jnp.asarray(RNG.standard_normal((3, 4)).astype(np.float32))
+    b = jnp.asarray(RNG.standard_normal((3, 4)).astype(np.float32))
+    np.testing.assert_allclose(_np(ops.eltwise([a, b], "sum")), _np(a) + _np(b))
+    np.testing.assert_allclose(_np(ops.eltwise([a, b], "prod")), _np(a) * _np(b))
+    np.testing.assert_allclose(
+        _np(ops.eltwise([a, b], "max")), np.maximum(_np(a), _np(b))
+    )
+    np.testing.assert_allclose(
+        _np(ops.eltwise([a, b], "sum", coeffs=[2.0, -1.0])), 2 * _np(a) - _np(b)
+    )
+    np.testing.assert_allclose(
+        _np(ops.eltwise([a, b], "stochastic_sum", train=False)),
+        (_np(a) + _np(b)) / 2,
+        rtol=1e-6,
+    )
+
+
+def test_softmax_loss_and_accuracy():
+    logits = jnp.asarray(RNG.standard_normal((6, 10)).astype(np.float32))
+    labels = jnp.asarray([0, 3, 9, 1, 1, 7])
+    loss = ops.softmax_cross_entropy(logits, labels)
+    ref = F.cross_entropy(
+        torch.from_numpy(_np(logits)), torch.from_numpy(_np(labels)).long()
+    )
+    np.testing.assert_allclose(float(loss), float(ref), rtol=1e-5)
+    # ignore_label
+    labels_ig = jnp.asarray([0, 3, 9, -1, -1, 7])
+    loss_ig = ops.softmax_cross_entropy(logits, labels_ig, ignore_label=-1)
+    ref_ig = F.cross_entropy(
+        torch.from_numpy(_np(logits)), torch.from_numpy(_np(labels_ig)).long(),
+        ignore_index=-1,
+    )
+    np.testing.assert_allclose(float(loss_ig), float(ref_ig), rtol=1e-5)
+    acc1 = ops.topk_accuracy(logits, labels, 1)
+    acc5 = ops.topk_accuracy(logits, labels, 5)
+    ref_top1 = (_np(logits).argmax(-1) == _np(labels)).mean()
+    np.testing.assert_allclose(float(acc1), ref_top1)
+    order = np.argsort(-_np(logits), axis=-1)[:, :5]
+    ref_top5 = np.mean([l in o for l, o in zip(_np(labels), order)])
+    np.testing.assert_allclose(float(acc5), ref_top5)
+
+
+def test_segment_layout_roundtrip():
+    x = jnp.asarray(RNG.standard_normal((2 * 16, 28, 28, 96)).astype(np.float32))
+    folded = ops.unfold_segments(x, 16)
+    assert folded.shape == (2, 16, 28, 28, 96)
+    np.testing.assert_allclose(_np(ops.fold_segments(folded)), _np(x))
+    feats = jnp.asarray(RNG.standard_normal((3 * 4, 1024)).astype(np.float32))
+    cons = ops.segment_consensus(feats, 4)
+    np.testing.assert_allclose(
+        _np(cons), _np(feats).reshape(3, 4, 1024).mean(1), rtol=1e-5
+    )
+
+
+def test_caffe_reshape_dims():
+    assert ops.caffe_reshape_dims((34, 48, 224, 224), (-1, 3, 224, 224)) == (
+        544, 3, 224, 224,
+    )
+    assert ops.caffe_reshape_dims((544, 96, 28, 28), (-1, 16, 96, 28, 28)) == (
+        34, 16, 96, 28, 28,
+    )
+    assert ops.caffe_reshape_dims((34, 512, 1, 1, 1), (-1, 512)) == (34, 512)
+    assert ops.caffe_reshape_dims((4, 6, 8), (0, -1)) == (4, 48)
+
+
+def test_conv_gradcheck_against_numeric():
+    # The reference gradient-checks every layer (test_gradient_check_util.hpp);
+    # here jax.grad vs central differences on a small conv+pool+loss net.
+    x = jnp.asarray(RNG.standard_normal((2, 6, 6, 3)).astype(np.float32))
+    w = jnp.asarray((RNG.standard_normal((3, 3, 3, 4)) * 0.3).astype(np.float32))
+    labels = jnp.asarray([1, 2])
+
+    def f(w):
+        y = ops.relu(ops.conv2d(x, w, pad=1))
+        y = ops.avg_pool(y, 3, 2, 1)
+        y = y.reshape(2, -1)
+        return ops.softmax_cross_entropy(y[:, :5], labels)
+
+    g = jax.grad(f)(w)
+    eps = 1e-3
+    for idx in [(0, 0, 0, 0), (1, 2, 1, 3), (2, 2, 2, 2)]:
+        wp = w.at[idx].add(eps)
+        wm = w.at[idx].add(-eps)
+        num = (f(wp) - f(wm)) / (2 * eps)
+        np.testing.assert_allclose(float(g[idx]), float(num), rtol=2e-2, atol=1e-4)
