@@ -48,6 +48,8 @@ def conv_nd(
     casts back to ``x.dtype``.
     """
     num_spatial = x.ndim - 2
+    if w.dtype != x.dtype:
+        w = w.astype(x.dtype)  # keep MXU inputs homogeneous (bf16 policy)
     stride = normalize_spatial_param(stride, num_spatial, default=1)
     pad = normalize_spatial_param(pad, num_spatial, default=0)
     dilation = normalize_spatial_param(dilation, num_spatial, default=1)

@@ -1,0 +1,525 @@
+"""GraphSpec -> pure jittable function: the TPU-native ``Net``.
+
+The reference's ``Net<Dtype>`` (src/caffe/net.cpp) is an imperative per-layer
+interpreter with hand-managed buffers.  Here ``Program`` walks the layer list
+exactly once *at trace time*; the result is a single XLA program in which
+layer boundaries no longer exist -- XLA fuses elementwise chains into convs
+and assigns buffers globally (subsuming Net::MemoryOptimize_v2,
+net.cpp:1080-1277).
+
+Functional state contract (instead of mutable blobs_):
+    params: {layer_name: {param_name: array}}   -- trainable
+    state:  {layer_name: {stat_name:  array}}   -- BN running stats etc.
+    apply(params, state, inputs, train, rng) -> (blobs, new_state)
+
+Physical layout convention: activations are channels-last (logical Caffe
+axis 1 moved to the end) for rank >= 3; matrices are (N, D).  Generic
+Reshape/Permute layers bridge through logical layout
+(eco_tpu.ops.layout.to_logical/to_physical); the hot ECO patterns use the
+dedicated fold/unfold/consensus ops which are free reshapes.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from eco_tpu import ops
+from eco_tpu.runtime.init import fill
+from eco_tpu.spec.graph import TRAIN, TEST, GraphSpec, LayerSpec
+from eco_tpu.utils.shapes import normalize_spatial_param
+
+# Layer types whose tops are host-provided (the data boundary).
+DATA_LAYER_TYPES = {"videodata", "input", "imagedata", "data", "memorydata"}
+
+
+@dataclass
+class Context:
+    train: bool = False
+    rng: Optional[jax.Array] = None
+    compute_dtype: Any = None  # e.g. jnp.bfloat16; None = keep input dtype
+    bn_axis_name: Optional[str] = None  # set inside shard_map for SyncBN
+
+    def layer_rng(self, layer_name: str) -> Optional[jax.Array]:
+        if self.rng is None:
+            return None
+        return jax.random.fold_in(self.rng, zlib.crc32(layer_name.encode()))
+
+
+# --------------------------------------------------------------------------
+# Layer implementations
+# --------------------------------------------------------------------------
+
+
+class LayerImpl:
+    """One graph-layer type: param/state declaration + traced apply."""
+
+    def param_specs(self, spec: LayerSpec, in_shapes) -> dict:
+        return {}
+
+    def state_specs(self, spec: LayerSpec, in_shapes) -> dict:
+        return {}
+
+    def apply(self, spec, params, state, inputs, ctx) -> tuple[list, Optional[dict]]:
+        raise NotImplementedError
+
+
+class _Conv(LayerImpl):
+    """Convolution / Deconvolution (reference base_conv_layer.cpp:13-188)."""
+
+    def _geometry(self, spec, in_shape):
+        num_spatial = len(in_shape) - 2
+        k = spec.opt("kernel_size")
+        if k is None:
+            k = (spec.opt("kernel_h"), spec.opt("kernel_w"))
+        kernel = normalize_spatial_param(k, num_spatial)
+        return num_spatial, kernel
+
+    def param_specs(self, spec, in_shapes):
+        in_shape = in_shapes[0]
+        _, kernel = self._geometry(spec, in_shape)
+        cin = in_shape[-1]
+        cout = int(spec.opt("num_output"))
+        groups = int(spec.opt("group", 1))
+        out = {
+            "w": (
+                tuple(kernel) + (cin // groups, cout),
+                jnp.float32,
+                spec.opt("weight_filler", {"type": "xavier"}),
+            )
+        }
+        if spec.opt("bias_term", True):
+            out["b"] = ((cout,), jnp.float32, spec.opt("bias_filler", {"type": "constant"}))
+        return out
+
+    def apply(self, spec, params, state, inputs, ctx):
+        y = ops.conv_nd(
+            inputs[0],
+            params["w"],
+            params.get("b"),
+            stride=spec.opt("stride", 1),
+            pad=spec.opt("pad", 0),
+            dilation=spec.opt("dilation", 1),
+            groups=int(spec.opt("group", 1)),
+            transposed=bool(spec.opt("transposed", False)),
+        )
+        return [y], None
+
+
+class _InnerProduct(LayerImpl):
+    def param_specs(self, spec, in_shapes):
+        din = 1
+        for d in in_shapes[0][1:]:
+            din *= d
+        dout = int(spec.opt("num_output"))
+        out = {
+            "w": ((din, dout), jnp.float32, spec.opt("weight_filler", {"type": "xavier"}))
+        }
+        if spec.opt("bias_term", True):
+            out["b"] = ((dout,), jnp.float32, spec.opt("bias_filler", {"type": "constant"}))
+        return out
+
+    def apply(self, spec, params, state, inputs, ctx):
+        x = inputs[0]
+        if x.ndim > 2:
+            # Caffe flattens trailing axes in *logical* order.
+            x = ops.to_logical(x).reshape(x.shape[0], -1)
+        return [ops.inner_product(x, params["w"], params.get("b"))], None
+
+
+class _BN(LayerImpl):
+    """BN with Caffe-engine/cuDNN/frozen/Sync semantics (see ops.norm)."""
+
+    def param_specs(self, spec, in_shapes):
+        c = in_shapes[0][-1]
+        return {
+            "gamma": ((c,), jnp.float32, spec.opt("slope_filler", {"type": "constant", "value": 1.0})),
+            "beta": ((c,), jnp.float32, spec.opt("bias_filler", {"type": "constant", "value": 0.0})),
+        }
+
+    def state_specs(self, spec, in_shapes):
+        c = in_shapes[0][-1]
+        return {"mean": ((c,), jnp.float32, 0.0), "var": ((c,), jnp.float32, 1.0)}
+
+    def apply(self, spec, params, state, inputs, ctx):
+        frozen = bool(spec.opt("frozen", False))
+        eps = float(spec.opt("eps", 1e-5))
+        if ctx.train and not frozen:
+            y, nm, nv = ops.bn_train(
+                inputs[0],
+                params["gamma"],
+                params["beta"],
+                state["mean"],
+                state["var"],
+                eps=eps,
+                momentum=float(spec.opt("momentum", 0.9)),
+                axis_name=ctx.bn_axis_name,
+            )
+            return [y], {"mean": nm, "var": nv}
+        y = ops.bn_inference(
+            inputs[0], params["gamma"], params["beta"], state["mean"], state["var"], eps=eps
+        )
+        return [y], None
+
+
+class _ReLU(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        return [ops.relu(inputs[0], float(spec.opt("negative_slope", 0.0)))], None
+
+
+class _Pooling(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        k = spec.opt("kernel_size")
+        if k is None and spec.opt("kernel_h") is not None:
+            k = (int(spec.opt("kernel_h")), int(spec.opt("kernel_w")))
+        s = spec.opt("stride", 1)
+        if spec.opt("stride_h") is not None:
+            s = (int(spec.opt("stride_h")), int(spec.opt("stride_w")))
+        p = spec.opt("pad", 0)
+        if spec.opt("pad_h") is not None:
+            p = (int(spec.opt("pad_h")), int(spec.opt("pad_w")))
+        y = ops.pool_nd(
+            inputs[0],
+            kernel=k,
+            stride=s,
+            pad=p,
+            mode=spec.opt("pool", "max"),
+            global_pooling=bool(spec.opt("global_pooling", False)),
+        )
+        return [y], None
+
+
+class _Dropout(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        y = ops.dropout(
+            inputs[0],
+            float(spec.opt("dropout_ratio", 0.5)),
+            train=ctx.train,
+            rng=ctx.layer_rng(spec.name),
+        )
+        return [y], None
+
+
+class _Eltwise(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        y = ops.eltwise(
+            inputs,
+            spec.opt("operation", "sum"),
+            spec.opt("coeffs"),
+            train=ctx.train,
+            rng=ctx.layer_rng(spec.name),
+        )
+        return [y], None
+
+
+class _Concat(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        axis = int(spec.opt("axis", 1))
+        if axis == 1 or inputs[0].ndim <= 2:
+            if inputs[0].ndim <= 2:
+                return [jnp.concatenate(inputs, axis=axis if axis != 1 else -1)], None
+            return [ops.concat_channels(inputs)], None
+        # Generic axis: bridge through logical layout.
+        logical = [ops.to_logical(x) for x in inputs]
+        return [ops.to_physical(jnp.concatenate(logical, axis=axis))], None
+
+
+class _Reshape(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        x = ops.to_logical(inputs[0])
+        dims = ops.caffe_reshape_dims(
+            x.shape,
+            spec.opt("dims"),
+            axis=int(spec.opt("axis", 0)),
+            num_axes=int(spec.opt("num_axes", -1)),
+        )
+        return [ops.to_physical(x.reshape(dims))], None
+
+
+class _Permute(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        x = ops.to_logical(inputs[0])
+        order = tuple(int(i) for i in spec.opt("order"))
+        return [ops.to_physical(jnp.transpose(x, order))], None
+
+
+class _Flatten(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        x = ops.to_logical(inputs[0])
+        return [x.reshape(x.shape[0], -1)], None
+
+
+class _FoldSegments(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        return [ops.fold_segments(inputs[0])], None
+
+
+class _UnfoldSegments(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        return [ops.unfold_segments(inputs[0], int(spec.opt("num_segments")))], None
+
+
+class _SegmentConsensus(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        x = inputs[0]
+        if x.ndim > 2:
+            x = ops.global_avg_pool(x)
+        return [ops.segment_consensus(x, int(spec.opt("num_segments")))], None
+
+
+class _GlobalAvgPool(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        return [ops.global_avg_pool(inputs[0])], None
+
+
+class _Softmax(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        return [ops.softmax(inputs[0])], None
+
+
+class _SoftmaxWithLoss(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        logits, labels = inputs[0], inputs[1].astype(jnp.int32)
+        loss = ops.softmax_cross_entropy(
+            logits,
+            labels,
+            ignore_label=spec.opt("ignore_label"),
+            normalization=spec.opt("normalization", "valid"),
+        )
+        return [loss], None
+
+
+class _Accuracy(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        logits, labels = inputs[0], inputs[1].astype(jnp.int32)
+        acc = ops.topk_accuracy(
+            logits, labels, int(spec.opt("top_k", 1)), ignore_label=spec.opt("ignore_label")
+        )
+        return [acc], None
+
+
+class _Scale(LayerImpl):
+    """Per-channel scale (+ optional shift) -- the BN-replacement layer
+    emitted by gen_bn_inference.py when in-place folding is blocked."""
+
+    def param_specs(self, spec, in_shapes):
+        c = in_shapes[0][-1]
+        out = {"scale": ((c,), jnp.float32, spec.opt("filler", {"type": "constant", "value": 1.0}))}
+        if spec.opt("bias_term", True):
+            out["shift"] = ((c,), jnp.float32, {"type": "constant", "value": 0.0})
+        return out
+
+    def apply(self, spec, params, state, inputs, ctx):
+        return [ops.scale_shift(inputs[0], params["scale"], params.get("shift", 0.0))], None
+
+
+class _Power(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        a = float(spec.opt("power", 1.0))
+        sc = float(spec.opt("scale", 1.0))
+        sh = float(spec.opt("shift", 0.0))
+        y = sc * inputs[0] + sh
+        if a != 1.0:
+            y = jnp.power(y, a)
+        return [y], None
+
+
+class _Slice(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        x = ops.to_logical(inputs[0])
+        axis = int(spec.opt("axis", 1))
+        points = spec.opt("slice_point")
+        n_out = len(spec.tops)
+        if points is None:
+            step = x.shape[axis] // n_out
+            points = [step * i for i in range(1, n_out)]
+        pieces = jnp.split(x, list(points), axis=axis)
+        return [ops.to_physical(p) for p in pieces], None
+
+
+class _Silence(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        return [], None
+
+
+IMPLS: dict[str, LayerImpl] = {
+    "convolution": _Conv(),
+    "deconvolution": _Conv(),
+    "innerproduct": _InnerProduct(),
+    "bn": _BN(),
+    "relu": _ReLU(),
+    "pooling": _Pooling(),
+    "dropout": _Dropout(),
+    "eltwise": _Eltwise(),
+    "concat": _Concat(),
+    "reshape": _Reshape(),
+    "permute": _Permute(),
+    "flatten": _Flatten(),
+    "fold_segments": _FoldSegments(),
+    "unfold_segments": _UnfoldSegments(),
+    "segment_consensus": _SegmentConsensus(),
+    "global_avg_pool": _GlobalAvgPool(),
+    "softmax": _Softmax(),
+    "softmaxwithloss": _SoftmaxWithLoss(),
+    "accuracy": _Accuracy(),
+    "scale": _Scale(),
+    "power": _Power(),
+    "slice": _Slice(),
+    "silence": _Silence(),
+}
+
+
+def get_impl(layer_type: str) -> LayerImpl:
+    key = layer_type.lower().replace("_", "")
+    key = {"innerproduct": "innerproduct"}.get(key, key)
+    for cand in (layer_type.lower(), key):
+        if cand in IMPLS:
+            return IMPLS[cand]
+    raise KeyError(f"no TPU implementation for layer type {layer_type!r}")
+
+
+# --------------------------------------------------------------------------
+# Program
+# --------------------------------------------------------------------------
+
+
+class Program:
+    """A phase-filtered, executable view of a GraphSpec.
+
+    ``init`` creates params/state by abstract-evaluating the graph layer by
+    layer (no real compute).  ``apply`` is a pure function suitable for
+    ``jax.jit`` / ``jax.grad`` / ``shard_map``.
+    """
+
+    def __init__(self, graph: GraphSpec, *, train: bool, compute_dtype=None):
+        self.graph = graph.filtered(TRAIN if train else TEST)
+        self.train = train
+        self.compute_dtype = compute_dtype
+        self.data_layers = [
+            l for l in self.graph.layers if l.type.lower() in DATA_LAYER_TYPES
+        ]
+        self.exec_layers = [
+            l for l in self.graph.layers if l.type.lower() not in DATA_LAYER_TYPES
+        ]
+        # Graph inputs: declared inputs + data-layer tops.
+        self.input_names = list(self.graph.inputs) + [
+            t for l in self.data_layers for t in l.tops
+        ]
+        consumed = {b for l in self.exec_layers for b in l.bottoms}
+        produced = [t for l in self.exec_layers for t in l.tops]
+        # In-place layers re-produce their top; keep last producer ordering.
+        self.output_names = [t for t in dict.fromkeys(produced) if t not in consumed]
+        self.loss_names = [
+            l.tops[0]
+            for l in self.exec_layers
+            if "loss" in l.type.lower() and l.tops
+        ]
+
+    # -- initialization ----------------------------------------------------
+
+    def init(self, rng: jax.Array, sample_inputs: Mapping[str, Any]):
+        """Build (params, state) from input shapes; pure shape propagation."""
+        blobs = {
+            k: jax.ShapeDtypeStruct(jnp.shape(v), jnp.result_type(v))
+            for k, v in sample_inputs.items()
+        }
+        missing = [n for n in self.input_names if n not in blobs]
+        if missing:
+            raise ValueError(f"sample_inputs missing {missing}")
+        params: dict = {}
+        state: dict = {}
+        ctx = Context(train=False, rng=None)
+        for layer in self.exec_layers:
+            impl = get_impl(layer.type)
+            in_structs = [blobs[b] for b in layer.bottoms]
+            in_shapes = [s.shape for s in in_structs]
+            pspecs = impl.param_specs(layer, in_shapes)
+            lp = {}
+            for i, (pname, (shape, dtype, filler)) in enumerate(pspecs.items()):
+                sub = jax.random.fold_in(rng, zlib.crc32(f"{layer.name}/{pname}".encode()))
+                lp[pname] = fill(sub, shape, dtype, filler)
+            if lp:
+                params[layer.name] = lp
+            sspecs = impl.state_specs(layer, in_shapes)
+            ls = {
+                sname: jnp.full(shape, val, dtype)
+                for sname, (shape, dtype, val) in sspecs.items()
+            }
+            if ls:
+                state[layer.name] = ls
+
+            def shape_fn(*xs):
+                outs, _ = impl.apply(layer, lp, ls, list(xs), ctx)
+                return outs
+
+            out_structs = jax.eval_shape(shape_fn, *in_structs)
+            for t, o in zip(layer.tops, out_structs):
+                blobs[t] = o
+        return params, state
+
+    # -- execution ----------------------------------------------------------
+
+    def apply(
+        self,
+        params: Mapping,
+        state: Mapping,
+        inputs: Mapping[str, Any],
+        *,
+        rng: Optional[jax.Array] = None,
+        capture: Optional[Sequence[str]] = None,
+    ):
+        """Run the graph. Returns (outputs, new_state).
+
+        ``outputs`` maps every dangling top (and any ``capture``d blob) to its
+        value.  ``new_state`` has the same structure as ``state`` with updated
+        BN statistics (identical to ``state`` at eval).
+        """
+        ctx = Context(train=self.train, rng=rng, compute_dtype=self.compute_dtype)
+        blobs: dict[str, Any] = {}
+        for k, v in inputs.items():
+            v = jnp.asarray(v)
+            declared = self.graph.inputs.get(k)
+            if declared is not None and tuple(v.shape[1:]) != tuple(declared[1:]):
+                # batch (axis 0) is free; everything else must match the graph
+                # declaration -- otherwise e.g. a wrong segment count would be
+                # silently reinterpreted by the segment reshapes.
+                raise ValueError(
+                    f"input {k!r}: shape {v.shape} does not match declared "
+                    f"{declared} (non-batch dims must agree)"
+                )
+            if (
+                self.compute_dtype is not None
+                and jnp.issubdtype(v.dtype, jnp.floating)
+                and v.ndim >= 3
+            ):
+                v = v.astype(self.compute_dtype)
+            blobs[k] = v
+        new_state = dict(state)
+        for layer in self.exec_layers:
+            impl = get_impl(layer.type)
+            ins = [blobs[b] for b in layer.bottoms]
+            outs, st = impl.apply(
+                layer, params.get(layer.name, {}), state.get(layer.name, {}), ins, ctx
+            )
+            if st:
+                new_state[layer.name] = st
+            for t, o in zip(layer.tops, outs):
+                blobs[t] = o
+        wanted = list(self.output_names) + [
+            c for c in (capture or ()) if c not in self.output_names
+        ]
+        return {k: blobs[k] for k in wanted}, new_state
+
+    def total_loss(self, outputs: Mapping[str, Any]):
+        """Sum of loss tops weighted by loss_weight (solver.cpp output calc)."""
+        total = 0.0
+        for l in self.exec_layers:
+            if l.tops and l.tops[0] in self.loss_names:
+                w = float(l.opt("loss_weight", 1.0))
+                total = total + w * outputs[l.tops[0]]
+        return total

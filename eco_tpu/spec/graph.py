@@ -1,0 +1,90 @@
+"""Declarative graph IR -- the TPU-native replacement for NetParameter.
+
+The reference builds ``Net<Dtype>`` from a protobuf graph
+(``src/caffe/net.cpp:39-316``): phase filtering, in-place tops, param
+sharing, backward-need inference.  Here the graph is a plain dataclass IR
+that compiles (``eco_tpu.runtime.executor``) into a *pure jittable
+function* -- graph construction happens once in Python; execution is one
+traced XLA program, so there is no per-layer runtime to optimize and the
+reference's activation-memory optimizer (net.cpp:1080-1277) is subsumed by
+XLA buffer assignment + optional remat policies.
+
+Phase filtering mirrors net.cpp:318-407 (include/exclude by phase).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Optional, Sequence
+
+TRAIN = "train"
+TEST = "test"
+
+
+@dataclass(frozen=True)
+class ParamSpec:
+    """Per-parameter-blob solver hints (LayerParameter.param, caffe.proto).
+
+    ``lr_mult=0`` freezes a blob; ``decay_mult=0`` exempts it from weight
+    decay; ``name`` enables cross-layer param sharing (net.cpp param
+    ownership)."""
+
+    lr_mult: float = 1.0
+    decay_mult: float = 1.0
+    name: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class LayerSpec:
+    name: str
+    type: str
+    bottoms: tuple[str, ...] = ()
+    tops: tuple[str, ...] = ()
+    options: Mapping[str, Any] = field(default_factory=dict)
+    phase: Optional[str] = None  # None = both phases
+    params: tuple[ParamSpec, ...] = ()
+
+    def opt(self, key, default=None):
+        return self.options.get(key, default)
+
+    def replace(self, **kw) -> "LayerSpec":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass
+class GraphSpec:
+    """An executable graph: named inputs (logical NCHW-style shapes) + layers.
+
+    ``inputs`` carries the deploy-style declaration (deploy.prototxt
+    input/input_dim); data layers may instead appear as layers with no
+    bottoms (their tops are fed by the host pipeline).
+    """
+
+    name: str
+    inputs: dict[str, tuple[int, ...]] = field(default_factory=dict)
+    layers: list[LayerSpec] = field(default_factory=list)
+
+    def filtered(self, phase: str) -> "GraphSpec":
+        """Keep layers whose phase rule includes ``phase`` (net.cpp:318-407)."""
+        keep = [l for l in self.layers if l.phase in (None, phase)]
+        return GraphSpec(self.name, dict(self.inputs), keep)
+
+    def layer(self, name: str) -> LayerSpec:
+        for l in self.layers:
+            if l.name == name:
+                return l
+        raise KeyError(name)
+
+    def validate(self) -> None:
+        """Every bottom must be produced before use (topological file order,
+        as Caffe requires); duplicate non-in-place tops are errors."""
+        available = set(self.inputs)
+        for l in self.layers:
+            for b in l.bottoms:
+                if b not in available:
+                    raise ValueError(
+                        f"layer {l.name!r}: bottom {b!r} not yet produced"
+                    )
+            for t in l.tops:
+                available.add(t)
