@@ -1,0 +1,83 @@
+"""Headline benchmark: ECO-Lite 16-segment inference throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "videos/s", "vs_baseline": N/230}
+
+Baseline: the reference claims "up to 230 videos/s" end-to-end online video
+understanding on a single GPU (reference README.md:22; BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eco_tpu.models import get_model
+from eco_tpu.runtime import Program
+
+BASELINE_VIDEOS_PER_SEC = 230.0
+
+
+def bench(batch: int = 64, num_segments: int = 16, iters: int = 10, warmup: int = 2):
+    graph = get_model("eco_lite_kinetics", num_segments=num_segments, batch=batch)
+    prog = Program(graph, train=False, compute_dtype=jnp.bfloat16)
+    data = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (batch, num_segments, 224, 224, 3), dtype=np.float32
+        ),
+        dtype=jnp.bfloat16,
+    )
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+
+    @jax.jit
+    def fwd(params, state, data):
+        outs, _ = prog.apply(params, state, {"data": data})
+        return outs["probs"]
+
+    # Per-iteration timing with a full device->host fetch: through the axon
+    # relay, plain block_until_ready on the tail of an async dispatch queue
+    # under-reports wall time; fetching the (tiny) probs array is reliable.
+    variants = [
+        jax.block_until_ready(data + jnp.bfloat16(i * 1e-3)) for i in range(4)
+    ]
+    for v in variants[:warmup]:
+        np.asarray(fwd(params, state, v))
+    times = []
+    for i in range(iters):
+        v = variants[i % len(variants)]
+        t0 = time.perf_counter()
+        np.asarray(fwd(params, state, v))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    return batch / dt
+
+
+def main():
+    import os
+
+    batches = tuple(
+        int(b) for b in os.environ.get("ECO_BENCH_BATCHES", "64").split(",")
+    )
+    best = 0.0
+    for batch in batches:
+        try:
+            v = bench(batch=batch)
+        except Exception:
+            break
+        best = max(best, v)
+    print(
+        json.dumps(
+            {
+                "metric": "eco_lite_16seg_inference_throughput",
+                "value": round(best, 1),
+                "unit": "videos/s",
+                "vs_baseline": round(best / BASELINE_VIDEOS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Multi-device tests on the 8-device virtual CPU mesh -- coverage the
+reference lacks entirely (its MPI paths are only exercised by live mpirun,
+SURVEY.md section 4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eco_tpu.models import build_eco_lite
+from eco_tpu.parallel import (
+    make_mesh,
+    make_sharded_infer_fn,
+    make_sharded_train_step,
+    shard_batch,
+)
+from eco_tpu.runtime import Program
+from eco_tpu.spec.netspec import NetBuilder
+from eco_tpu.train import SolverConfig, init_train_state, make_train_step
+
+
+def _small_video_graph(with_loss):
+    # ECO-shaped but tiny: 16x16 frames, 4 segments.
+    b = NetBuilder("mini_eco")
+    x = b.input("data", (8, 4, 16, 16, 3))
+    if with_loss:
+        b.input("label", (8,))
+    x = b.layer("fold", "fold_segments", x)
+    x = b.conv_bn_relu("conv1", x, 8, k=3, s=2, p=1)
+    x = b.layer("unfold", "unfold_segments", x, num_segments=4)
+    x = b.layer(
+        "c3d", "convolution", x, num_output=16, kernel_size=(3, 3, 3),
+        stride=(2, 2, 2), pad=(1, 1, 1), weight_filler={"type": "xavier"},
+    )
+    x = b.bn("c3d_bn", x)
+    x = b.layer("gap", "global_avg_pool", x)
+    y = b.fc("fc", x, 5)
+    if with_loss:
+        b.layer("loss", "softmaxwithloss", (y, "label"))
+    else:
+        b.layer("probs", "softmax", y)
+    return b.build()
+
+
+def test_mesh_construction():
+    assert len(jax.devices()) == 8
+    m = make_mesh()
+    assert m.shape == {"data": 8}
+    m2 = make_mesh({"data": 4, "segment": -1})
+    assert m2.shape == {"data": 4, "segment": 2}
+    with pytest.raises(ValueError):
+        make_mesh({"data": 3})
+
+
+def test_sharded_train_step_matches_single_device():
+    g = _small_video_graph(with_loss=True)
+    prog = Program(g, train=True)
+    rng = np.random.default_rng(0)
+    batch = {
+        "data": jnp.asarray(rng.standard_normal((2, 8, 4, 16, 16, 3)), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 5, (2, 8))),
+    }
+    sample = jax.tree.map(lambda x: x[0], batch)
+    params, state = prog.init(jax.random.PRNGKey(0), sample)
+    cfg = SolverConfig(base_lr=0.1, lr_policy="fixed", iter_size=2,
+                       clip_gradients=10.0, solver_type="nesterov")
+
+    # single-device reference
+    ts1 = init_train_state(params, state)
+    ts1, m1 = jax.jit(make_train_step(prog, cfg))(ts1, batch, jax.random.PRNGKey(7))
+
+    # 8-way data-parallel
+    mesh = make_mesh()
+    ts2 = init_train_state(params, state)
+    step = make_sharded_train_step(prog, cfg, mesh)
+    sb = shard_batch(mesh, batch, batch_axis=1)
+    ts2, m2 = step(ts2, sb, jax.random.PRNGKey(7))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(ts1.params["fc"]["w"]),
+        np.asarray(ts2.params["fc"]["w"]),
+        rtol=1e-3, atol=1e-5,
+    )
+    # BN running stats also agree: pjit BN == global-batch (SyncBN) semantics
+    # and the single-device run IS the global batch.
+    np.testing.assert_allclose(
+        np.asarray(ts1.state["c3d_bn"]["mean"]),
+        np.asarray(ts2.state["c3d_bn"]["mean"]),
+        rtol=1e-3, atol=1e-5,
+    )
+
+
+def test_sharded_inference_matches_local():
+    g = _small_video_graph(with_loss=False)
+    prog = Program(g, train=False)
+    rng = np.random.default_rng(1)
+    data = jnp.asarray(rng.standard_normal((8, 4, 16, 16, 3)), jnp.float32)
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    local = prog.apply(params, state, {"data": data})[0]["probs"]
+    mesh = make_mesh()
+    infer = make_sharded_infer_fn(prog, mesh)
+    sharded = infer(params, state, jax.device_put(data))
+    np.testing.assert_allclose(np.asarray(local), np.asarray(sharded), rtol=1e-4, atol=1e-6)
+
+
+def test_eco_lite_multichip_dryrun():
+    # The real model, 8-way sharded, tiny spatial size via crop_size override.
+    g = build_eco_lite(num_classes=10, num_segments=4, crop_size=64,
+                       with_loss=True, batch=8)
+    prog = Program(g, train=True)
+    rng = np.random.default_rng(2)
+    batch = {
+        "data": jnp.asarray(rng.standard_normal((1, 8, 4, 64, 64, 3)), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 10, (1, 8))),
+    }
+    params, state = prog.init(jax.random.PRNGKey(0), jax.tree.map(lambda x: x[0], batch))
+    mesh = make_mesh()
+    cfg = SolverConfig(base_lr=0.001, iter_size=1, clip_gradients=40.0)
+    step = make_sharded_train_step(prog, cfg, mesh)
+    ts = init_train_state(params, state)
+    ts, metrics = step(ts, shard_batch(mesh, batch, batch_axis=1), jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(ts.it) == 1
