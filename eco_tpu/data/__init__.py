@@ -1,0 +1,16 @@
+from eco_tpu.data.video_list import VideoRecord, parse_video_list
+from eco_tpu.data.sampler import (
+    frame_indices,
+    sample_offsets,
+    streaming_allocation,
+    subsample_window,
+)
+from eco_tpu.data.reader import read_segment_flow, read_segment_rgb
+from eco_tpu.data.transform import (
+    TransformConfig,
+    fill_crop_sizes,
+    fill_fix_offsets,
+    sample_random_crop_size,
+    transform_stack,
+)
+from eco_tpu.data.pipeline import VideoDataConfig, VideoPipeline

@@ -1,0 +1,172 @@
+"""Prefetching video batch pipeline -- BasePrefetchingDataLayer parity.
+
+The reference runs one InternalThread per data layer assembling the next
+batch while the net computes, and shards data across MPI ranks by cursor
+offset: start at ``rank*batch``, advance ``(world-1)*batch`` after each batch
+(base_data_layer.cpp:42-45,83-86).  Here a worker pool decodes videos in
+parallel (cv2 releases the GIL) and a depth-2 queue double-buffers batches;
+the same cursor arithmetic shards across hosts.
+
+Emits {"data": (N, S*L, crop, crop, C) float32, "label": (N,) int32} numpy
+batches ready for device_put (channels-last, BGR, mean-subtracted).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from eco_tpu.data.reader import read_segment_flow, read_segment_rgb
+from eco_tpu.data.sampler import frame_indices, sample_offsets
+from eco_tpu.data.transform import TransformConfig, transform_stack
+from eco_tpu.data.video_list import VideoRecord, parse_video_list
+
+
+@dataclass
+class VideoDataConfig:
+    """video_data_param mirror (caffe.proto VideoDataParameter subset)."""
+
+    source: str = ""
+    batch_size: int = 16
+    new_length: int = 1
+    num_segments: int = 16
+    modality: str = "RGB"  # RGB | FLOW
+    shuffle: bool = False
+    name_pattern: str = "img_%04d.jpg"
+    new_height: int = 0
+    new_width: int = 0
+    step: int = 1
+    rand_step: bool = False
+    root: Optional[str] = None
+    transform: TransformConfig = field(default_factory=TransformConfig)
+
+
+class VideoPipeline:
+    def __init__(
+        self,
+        cfg: VideoDataConfig,
+        *,
+        train: bool,
+        seed: int = 0,
+        rank: int = 0,
+        world: int = 1,
+        num_workers: int = 8,
+        records: Optional[Sequence[VideoRecord]] = None,
+        prefetch_depth: int = 2,
+    ):
+        self.cfg = cfg
+        self.train = train
+        self.rank, self.world = rank, world
+        self.records = list(
+            records if records is not None else parse_video_list(cfg.source, root=cfg.root)
+        )
+        if not self.records:
+            raise ValueError("empty video list")
+        # twin-seeded RNGs like the reference (video_data_layer.cpp:126-131)
+        self._shuffle_rng = np.random.default_rng(seed)
+        self._frame_rng = np.random.default_rng(seed + 1)
+        if cfg.shuffle:
+            self._shuffle()
+        # MPI-style cursor sharding
+        self._cursor = rank * cfg.batch_size
+        self._pool = ThreadPoolExecutor(max_workers=num_workers)
+        self._queue: queue.Queue = queue.Queue(maxsize=prefetch_depth)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+
+    # -- internals -----------------------------------------------------------
+
+    def _shuffle(self):
+        perm = self._shuffle_rng.permutation(len(self.records))
+        self.records = [self.records[i] for i in perm]
+
+    def _advance(self, n):
+        self._cursor += n
+        while self._cursor >= len(self.records):
+            self._cursor -= len(self.records)
+            if self.cfg.shuffle:
+                self._shuffle()
+
+    def _load_one(self, rec: VideoRecord, rng: np.random.Generator):
+        cfg = self.cfg
+        offsets, skips = sample_offsets(
+            rec.num_frames, cfg.num_segments, cfg.new_length,
+            train=self.train, rng=rng, step=cfg.step, rand_step=cfg.rand_step,
+        )
+        idx = frame_indices(offsets, skips, cfg.new_length, cfg.step)
+        idx = np.minimum(idx, rec.num_frames - 1)
+        if cfg.modality.upper() == "FLOW":
+            stack = read_segment_flow(
+                rec.path, idx, name_pattern=cfg.name_pattern,
+                new_height=cfg.new_height, new_width=cfg.new_width,
+            )
+        else:
+            stack = read_segment_rgb(
+                rec.path, idx, name_pattern=cfg.name_pattern,
+                new_height=cfg.new_height, new_width=cfg.new_width,
+            )
+        return transform_stack(stack, cfg.transform, train=self.train, rng=rng)
+
+    def _make_batch(self):
+        cfg = self.cfg
+        items, labels = [], []
+        while len(items) < cfg.batch_size:
+            rec = self.records[self._cursor % len(self.records)]
+            self._advance(1)
+            rng = np.random.default_rng(self._frame_rng.integers(0, 2**63))
+            try:
+                fut = self._pool.submit(self._load_one, rec, rng)
+                items.append(fut)
+                labels.append(rec.label)
+            except RuntimeError:
+                return None
+        arrs = []
+        for i, fut in enumerate(items):
+            try:
+                arrs.append(fut.result())
+            except FileNotFoundError:
+                # unreadable video: reference skips it; substitute previous
+                arrs.append(arrs[-1] if arrs else np.zeros_like(items[0].result()))
+        # per-batch cursor skip for the other ranks
+        self._advance((self.world - 1) * cfg.batch_size)
+        return {
+            "data": np.stack(arrs),
+            "label": np.asarray(labels, np.int32),
+        }
+
+    def _producer(self):
+        while not self._stop.is_set():
+            batch = self._make_batch()
+            if batch is None:
+                return
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(batch, timeout=0.25)
+                    break
+                except queue.Full:
+                    continue
+
+    # -- public ---------------------------------------------------------------
+
+    def next_batch(self):
+        return self._queue.get()
+
+    def __iter__(self) -> Iterator:
+        while True:
+            yield self.next_batch()
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5)
+        self._pool.shutdown(wait=False)

@@ -1,0 +1,317 @@
+"""Caffe prototxt (protobuf text format) importer -- config-system parity.
+
+Parses NetParameter text files (including this fork's bracket-list extension
+``kernel_size: [3, 3, 3]``) into plain dicts, then lowers them onto the
+GraphSpec IR with TPU-friendly peephole rewrites:
+
+- Reshape(-1,C,H,W) on a data-layer top      -> fold_segments
+- Reshape(-1,S,C,H,W) + Permute([0,2,1,3,4]) -> unfold_segments(S)
+  (the r2Dto3D dance, ECO_Lite.prototxt:1310-1326)
+- Reshape(-1,1,S,D) + Pool(kh=S,kw=1) + Reshape(-1,D) -> segment_consensus(S)
+  (ECO_full.prototxt:4802-4810)
+
+Everything else lowers 1:1; unknown layer types raise at Program build time,
+not at parse time.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from eco_tpu.spec.graph import GraphSpec, LayerSpec, ParamSpec
+
+_TOKEN = re.compile(
+    r"""
+    \s*(?:
+      (?P<comment>\#[^\n]*)
+    | (?P<brace>[{}\[\],])
+    | (?P<colon>:)
+    | (?P<string>"(?:[^"\\]|\\.)*")
+    | (?P<value>[^\s{}\[\]:,"#]+)
+    )""",
+    re.X,
+)
+
+
+def _tokenize(text: str):
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN.match(text, pos)
+        if not m:
+            break
+        pos = m.end()
+        if m.lastgroup == "comment" or m.group().strip() == "":
+            continue
+        yield m.lastgroup, m.group().strip()
+    yield "eof", ""
+
+
+def _convert(tok: str) -> Any:
+    if tok.startswith('"'):
+        return tok[1:-1]
+    low = tok.lower()
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        pass
+    return tok  # enum token (MAX, TRAIN, RGB, ...)
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self._toks = list(_tokenize(text))
+        self._i = 0
+
+    def _peek(self):
+        return self._toks[self._i]
+
+    def _next(self):
+        t = self._toks[self._i]
+        self._i += 1
+        return t
+
+    def parse_message(self, top_level: bool = False) -> dict:
+        """Parse { field: value ... }; repeated fields accumulate in lists."""
+        msg: dict[str, Any] = {}
+        while True:
+            kind, tok = self._peek()
+            if kind == "eof" or (kind == "brace" and tok == "}"):
+                if not top_level:
+                    self._next()  # consume '}'
+                return msg
+            if kind != "value":
+                raise ValueError(f"unexpected token {tok!r}")
+            key = self._next()[1]
+            kind, tok = self._peek()
+            if kind == "brace" and tok == "{":
+                self._next()
+                value = self.parse_message()
+            elif kind == "colon":
+                self._next()
+                kind, tok = self._peek()
+                if kind == "brace" and tok == "[":
+                    self._next()
+                    value = []
+                    while True:
+                        kind, tok = self._peek()
+                        if kind == "brace" and tok == "]":
+                            self._next()
+                            break
+                        if kind == "brace" and tok == ",":
+                            self._next()
+                            continue
+                        value.append(_convert(self._next()[1]))
+                elif kind == "brace" and tok == "{":
+                    self._next()
+                    value = self.parse_message()
+                else:
+                    value = _convert(self._next()[1])
+            else:
+                raise ValueError(f"expected ':' or '{{' after {key!r}")
+            if key in msg:
+                if not isinstance(msg[key], list) or isinstance(value, list):
+                    prev = msg[key]
+                    msg[key] = prev if isinstance(prev, list) else [prev]
+                    if isinstance(value, list):
+                        msg[key].extend(value)
+                    else:
+                        msg[key].append(value)
+                else:
+                    msg[key].append(value)
+            else:
+                msg[key] = value
+
+
+def parse_prototxt(text: str) -> dict:
+    """Text -> nested dict; repeated fields become lists."""
+    return _Parser(text).parse_message(top_level=True)
+
+
+# ---------------------------------------------------------------------------
+# Lowering NetParameter dict -> GraphSpec
+# ---------------------------------------------------------------------------
+
+def _as_list(v):
+    if v is None:
+        return []
+    return v if isinstance(v, list) else [v]
+
+
+def _phase_of(layer: dict):
+    for rule, result in (("include", "match"), ("exclude", "invert")):
+        for inc in _as_list(layer.get(rule)):
+            ph = inc.get("phase")
+            if ph is not None:
+                ph = str(ph).lower()
+                if rule == "include":
+                    return ph
+                return "test" if ph == "train" else "train"
+    return None
+
+
+def _param_specs(layer: dict):
+    specs = []
+    for p in _as_list(layer.get("param")):
+        if isinstance(p, dict):
+            specs.append(
+                ParamSpec(
+                    lr_mult=float(p.get("lr_mult", 1.0)),
+                    decay_mult=float(p.get("decay_mult", 1.0)),
+                    name=p.get("name"),
+                )
+            )
+    return tuple(specs)
+
+
+_OPTS_MAP = {
+    "Convolution": ("convolution_param", "convolution"),
+    "Deconvolution": ("convolution_param", "deconvolution"),
+    "InnerProduct": ("inner_product_param", "innerproduct"),
+    "BN": ("bn_param", "bn"),
+    "ReLU": ("relu_param", "relu"),
+    "Pooling": ("pooling_param", "pooling"),
+    "Dropout": ("dropout_param", "dropout"),
+    "Eltwise": ("eltwise_param", "eltwise"),
+    "Concat": ("concat_param", "concat"),
+    "Reshape": ("reshape_param", "reshape"),
+    "Permute": ("permute_param", "permute"),
+    "Flatten": ("flatten_param", "flatten"),
+    "Softmax": ("softmax_param", "softmax"),
+    "SoftmaxWithLoss": ("loss_param", "softmaxwithloss"),
+    "Accuracy": ("accuracy_param", "accuracy"),
+    "Scale": ("scale_param", "scale"),
+    "Power": ("power_param", "power"),
+    "Slice": ("slice_param", "slice"),
+    "Silence": (None, "silence"),
+    "VideoData": ("video_data_param", "videodata"),
+    "ImageData": ("image_data_param", "imagedata"),
+    "Data": ("data_param", "data"),
+    "Gather": (None, "gather"),
+    "Scatter": (None, "scatter"),
+}
+
+
+def _lower_layer(layer: dict) -> LayerSpec:
+    ltype = layer["type"]
+    if ltype not in _OPTS_MAP:
+        raise ValueError(f"unsupported layer type {ltype!r}")
+    pkey, our_type = _OPTS_MAP[ltype]
+    opts: dict[str, Any] = {}
+    if pkey and pkey in layer:
+        opts.update(layer[pkey])
+    # normalize enum-ish values
+    if "pool" in opts:
+        opts["pool"] = str(opts["pool"]).lower()
+    if "operation" in opts:
+        opts["operation"] = str(opts["operation"]).lower()
+    if ltype == "Reshape" and "shape" in opts:
+        opts["dims"] = tuple(_as_list(opts.pop("shape").get("dim")))
+    if ltype == "Permute" and "order" in opts:
+        opts["order"] = tuple(_as_list(opts["order"]))
+    if ltype == "SoftmaxWithLoss":
+        # loss_param + top-level loss_weight
+        if "loss_weight" in layer:
+            opts["loss_weight"] = layer["loss_weight"]
+    if ltype == "Accuracy" and "accuracy_param" in layer:
+        opts.update(layer["accuracy_param"])
+    if ltype == "VideoData":
+        opts["transform"] = dict(layer.get("transform_param", {}))
+    return LayerSpec(
+        name=layer.get("name", layer["type"]),
+        type=our_type,
+        bottoms=tuple(_as_list(layer.get("bottom"))),
+        tops=tuple(_as_list(layer.get("top"))),
+        options=opts,
+        phase=_phase_of(layer),
+        params=_param_specs(layer),
+    )
+
+
+def _peephole(layers: list[LayerSpec], data_tops: set[str]) -> list[LayerSpec]:
+    out: list[LayerSpec] = []
+    i = 0
+    while i < len(layers):
+        l = layers[i]
+        nxt = layers[i + 1] if i + 1 < len(layers) else None
+        nxt2 = layers[i + 2] if i + 2 < len(layers) else None
+        if l.type == "reshape":
+            dims = tuple(l.opt("dims", ()))
+            # r2Dto3D + Permute -> unfold_segments
+            if (
+                len(dims) == 5
+                and dims[0] == -1
+                and nxt is not None
+                and nxt.type == "permute"
+                and tuple(nxt.opt("order", ())) == (0, 2, 1, 3, 4)
+                and nxt.bottoms == l.tops
+            ):
+                out.append(
+                    LayerSpec(l.name, "unfold_segments", l.bottoms, nxt.tops,
+                              {"num_segments": int(dims[1])}, l.phase)
+                )
+                i += 2
+                continue
+            # segment consensus triple
+            if (
+                len(dims) == 4
+                and dims[0] == -1
+                and dims[1] == 1
+                and nxt is not None
+                and nxt.type == "pooling"
+                and nxt.opt("kernel_h") == dims[2]
+                and nxt.opt("kernel_w") == 1
+                and nxt2 is not None
+                and nxt2.type == "reshape"
+            ):
+                out.append(
+                    LayerSpec(nxt.name, "segment_consensus", l.bottoms, nxt2.tops,
+                              {"num_segments": int(dims[2])}, l.phase)
+                )
+                i += 3
+                continue
+            # data-layer segment fold
+            if len(dims) == 4 and dims[0] == -1 and l.bottoms and l.bottoms[0] in data_tops:
+                out.append(
+                    LayerSpec(l.name, "fold_segments", l.bottoms, l.tops, {}, l.phase)
+                )
+                i += 1
+                continue
+        out.append(l)
+        i += 1
+    return out
+
+
+def graph_from_prototxt(text: str, *, name: str = None) -> GraphSpec:
+    net = parse_prototxt(text)
+    graph = GraphSpec(name or net.get("name", "net"))
+    # deploy-style inputs
+    inputs = _as_list(net.get("input"))
+    if inputs:
+        dims = [int(d) for d in _as_list(net.get("input_dim"))]
+        shapes = _as_list(net.get("input_shape"))
+        for k, inp in enumerate(inputs):
+            if dims:
+                per = len(dims) // len(inputs)
+                shape = tuple(dims[k * per:(k + 1) * per])
+            else:
+                shape = tuple(int(d) for d in _as_list(shapes[k].get("dim")))
+            if len(shape) >= 3:
+                # declared shapes are logical NCHW; graph inputs are physical
+                # channels-last
+                shape = (shape[0],) + shape[2:] + (shape[1],)
+            graph.inputs[inp] = shape
+    raw = [_lower_layer(l) for l in _as_list(net.get("layer"))]
+    data_tops = {
+        t for l in raw if l.type in ("videodata", "imagedata", "data") for t in l.tops
+    }
+    graph.layers = _peephole(raw, data_tops)
+    return graph

@@ -1,0 +1,266 @@
+"""Prototxt import, caffemodel wire parsing, weight import, BN folding."""
+
+import os
+import struct
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eco_tpu.spec.prototxt import graph_from_prototxt, parse_prototxt
+from eco_tpu.convert import fold_bn, import_caffe_weights, load_caffemodel
+from eco_tpu.runtime import Program
+from eco_tpu.spec.netspec import NetBuilder
+
+REF = "/root/reference"
+
+
+# ------------------------------------------------------------- text format
+
+
+def test_parse_prototxt_basics():
+    d = parse_prototxt(
+        '''
+        name: "o3d"
+        mem_param { optimize_test: true }
+        layer {
+          name: "c" type: "Convolution" bottom: "data" top: "c"
+          convolution_param {
+            num_output: 128
+            pad: [1, 1, 1]
+            kernel_size: [3, 3, 3]
+            stride: [2, 2, 2]
+          }
+          param { lr_mult: 1 decay_mult: 1 } param { lr_mult: 2 decay_mult: 0 }
+        }
+        layer { name: "p" type: "Pooling" bottom: "c" top: "p"
+                pooling_param { pool: MAX kernel_size: 3 stride: 2 } }
+        '''
+    )
+    assert d["name"] == "o3d"
+    assert d["mem_param"]["optimize_test"] is True
+    layers = d["layer"]
+    assert layers[0]["convolution_param"]["kernel_size"] == [3, 3, 3]
+    assert layers[0]["param"][0]["lr_mult"] == 1
+    assert layers[1]["pooling_param"]["pool"] == "MAX"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_import_eco_lite_deploy_prototxt_and_run():
+    text = open(f"{REF}/models_ECO_Lite/kinetics/deploy.prototxt").read()
+    g = graph_from_prototxt(text)
+    # deploy inputs are converted to physical channels-last
+    assert g.inputs["data"] == (80, 224, 224, 3)
+    # r2Dto3D + Permute got fused into unfold_segments
+    unfolds = [l for l in g.layers if l.type == "unfold_segments"]
+    assert len(unfolds) == 1 and unfolds[0].opt("num_segments") == 16
+    assert not any(l.type == "permute" for l in g.layers)
+
+    prog = Program(g, train=False)
+    # 5 videos x 16 segments, small batch for CPU: use 16 rows (1 video)
+    data = jnp.asarray(
+        np.random.default_rng(0).standard_normal((16, 224, 224, 3)), jnp.float32
+    )
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    assert params["res3a_2n"]["w"].shape == (3, 3, 3, 96, 128)
+    outs, _ = prog.apply(params, state, {"data": data})
+    assert outs["fc8"].shape == (1, 400)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_import_eco_lite_train_prototxt_phases():
+    text = open(f"{REF}/models_ECO_Lite/kinetics/ECO_Lite.prototxt").read()
+    g = graph_from_prototxt(text)
+    # VideoData train/test variants + phase-filtered programs
+    train_prog = Program(g, train=True)
+    test_prog = Program(g, train=False)
+    assert "data" in train_prog.input_names and "label" in train_prog.input_names
+    folds = [l for l in g.layers if l.type == "fold_segments"]
+    assert folds and folds[0].name == "reshape_data"
+    # train program: loss present, accuracy absent
+    assert "loss" in [l.name for l in train_prog.exec_layers]
+    assert not any(l.name == "top1" for l in train_prog.exec_layers)
+    assert any(l.name == "top5" for l in test_prog.exec_layers)
+    # run the train graph once at small batch
+    data = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 16, 224, 224, 3)), jnp.float32
+    )
+    label = jnp.asarray([3])
+    params, state = train_prog.init(jax.random.PRNGKey(0), {"data": data, "label": label})
+    outs, new_state = train_prog.apply(
+        params, state, {"data": data, "label": label}, rng=jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(outs["loss"]))
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_import_eco_full_prototxt():
+    text = open(f"{REF}/models_ECO_Full/kinetics/ECO_full.prototxt").read()
+    g = graph_from_prototxt(text)
+    cons = [l for l in g.layers if l.type == "segment_consensus"]
+    assert len(cons) == 1 and cons[0].opt("num_segments") == 16
+    prog = Program(g, train=False)
+    data = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 16, 224, 224, 3)), jnp.float32
+    )
+    label = jnp.asarray([3])
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data, "label": label})
+    assert params["fc8N"]["w"].shape == (1536, 400)
+
+
+# ------------------------------------------------------------- wire format
+
+
+def _varint(n):
+    out = b""
+    while True:
+        b7 = n & 0x7F
+        n >>= 7
+        out += bytes([b7 | (0x80 if n else 0)])
+        if not n:
+            return out
+
+
+def _tag(field, wt):
+    return _varint((field << 3) | wt)
+
+
+def _ld(field, payload):
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _blob(arr, *, legacy=False, packed=True):
+    arr = np.asarray(arr, np.float32)
+    msg = b""
+    if legacy:
+        shape4 = (1,) * (4 - arr.ndim) + arr.shape
+        for i, d in enumerate(shape4):
+            msg += _tag(i + 1, 0) + _varint(d)
+    else:
+        shape_msg = b"".join(_tag(1, 0) + _varint(d) for d in arr.shape)
+        msg += _ld(7, shape_msg)
+    if packed:
+        msg += _ld(5, arr.ravel().tobytes())
+    else:
+        for v in arr.ravel():
+            msg += _tag(5, 5) + struct.pack("<f", v)
+    return msg
+
+
+def _make_caffemodel(layers, v1=False):
+    """layers: [(name, type, [arrays])]"""
+    out = _ld(1, b"testnet")
+    for name, ltype, blobs in layers:
+        if v1:
+            msg = _ld(4, name.encode()) + _tag(5, 0) + _varint(4)  # CONV enum
+            for b in blobs:
+                msg += _ld(6, _blob(b, legacy=True))
+            out += _ld(2, msg)
+        else:
+            msg = _ld(1, name.encode()) + _ld(2, ltype.encode())
+            for b in blobs:
+                msg += _ld(7, _blob(b))
+            out += _ld(100, msg)
+    return out
+
+
+def test_caffemodel_wire_roundtrip(tmp_path):
+    w = np.arange(24, dtype=np.float32).reshape(2, 3, 2, 2)
+    b = np.asarray([1.0, 2.0], np.float32)
+    path = tmp_path / "m.caffemodel"
+    path.write_bytes(_make_caffemodel([("convX", "Convolution", [w, b])]))
+    layers = load_caffemodel(str(path))
+    assert set(layers) == {"convX"}
+    np.testing.assert_array_equal(layers["convX"]["blobs"][0], w)
+    np.testing.assert_array_equal(layers["convX"]["blobs"][1], b)
+    # V1 legacy format + unpacked floats
+    path2 = tmp_path / "v1.caffemodel"
+    path2.write_bytes(_make_caffemodel([("c1", "Convolution", [b])], v1=True))
+    l2 = load_caffemodel(str(path2))
+    np.testing.assert_array_equal(l2["c1"]["blobs"][0].reshape(-1), b)
+
+
+def _mini_graph():
+    b = NetBuilder("mini")
+    x = b.input("data", (2, 8, 8, 3))
+    x = b.conv("conv1", x, 4, k=3, p=1)
+    x = b.bn("conv1_bn", x)
+    x = b.relu("conv1_relu", x)
+    y = b.conv("res_a", x, 4, k=1)  # feeds both bn and eltwise (unfoldable BN)
+    yb = b.bn("res_a_bn", y)
+    yb = b.relu("res_a_relu", yb)
+    z = b.conv("res_b", yb, 4, k=1)
+    s = b.eltwise_sum("res", [z, y])
+    s = b.bn("res_bn", s)
+    x = b.layer("gap", "global_avg_pool", s)
+    b.fc("fc", x, 5)
+    return b.build()
+
+
+def test_import_caffe_weights_layouts(tmp_path):
+    g = _mini_graph()
+    prog = Program(g, train=False)
+    data = jnp.zeros((2, 8, 8, 3))
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    rng = np.random.default_rng(0)
+    w_oihw = rng.standard_normal((4, 3, 3, 3)).astype(np.float32)
+    bias = rng.standard_normal(4).astype(np.float32)
+    gm = rng.standard_normal((1, 4, 1, 1)).astype(np.float32)
+    bt = rng.standard_normal((1, 4, 1, 1)).astype(np.float32)
+    mu = rng.standard_normal((1, 4, 1, 1)).astype(np.float32)
+    var = (rng.random((1, 4, 1, 1)) + 0.5).astype(np.float32)
+    fcw = rng.standard_normal((5, 4)).astype(np.float32)
+    fcb = rng.standard_normal(5).astype(np.float32)
+    path = tmp_path / "w.caffemodel"
+    path.write_bytes(
+        _make_caffemodel(
+            [
+                ("conv1", "Convolution", [w_oihw, bias]),
+                ("conv1_bn", "BN", [gm, bt, mu, var]),
+                ("fc", "InnerProduct", [fcw, fcb]),
+                ("notinmodel", "Convolution", [bias]),
+            ]
+        )
+    )
+    p2, s2, report = import_caffe_weights(g, params, state, str(path))
+    assert "conv1" in report["loaded"] and "notinmodel" in report["skipped"]
+    np.testing.assert_array_equal(
+        np.asarray(p2["conv1"]["w"]), np.transpose(w_oihw, (2, 3, 1, 0))
+    )
+    np.testing.assert_array_equal(np.asarray(p2["fc"]["w"]), fcw.T)
+    np.testing.assert_array_equal(np.asarray(s2["conv1_bn"]["var"]), var.reshape(-1))
+    # inv_std style conversion
+    p3, s3, _ = import_caffe_weights(g, params, state, str(path), bn_style="inv_std")
+    np.testing.assert_allclose(
+        np.asarray(s3["conv1_bn"]["var"]),
+        var.reshape(-1) ** -2 - 1e-5,
+        rtol=1e-5,
+    )
+
+
+def test_fold_bn_preserves_outputs_and_guards_residuals():
+    g = _mini_graph()
+    prog = Program(g, train=False)
+    data = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 8, 8, 3)), jnp.float32
+    )
+    params, state = prog.init(jax.random.PRNGKey(1), {"data": data})
+    # randomize BN stats so folding is non-trivial
+    rng = np.random.default_rng(2)
+    for lname in ("conv1_bn", "res_a_bn", "res_bn"):
+        params[lname]["gamma"] = jnp.asarray(rng.standard_normal(4), jnp.float32)
+        params[lname]["beta"] = jnp.asarray(rng.standard_normal(4), jnp.float32)
+        state[lname]["mean"] = jnp.asarray(rng.standard_normal(4), jnp.float32)
+        state[lname]["var"] = jnp.asarray(rng.random(4) + 0.2, jnp.float32)
+    ref_out = prog.apply(params, state, {"data": data})[0]["fc"]
+
+    fg, fp, fs = fold_bn(g, params, state)
+    types = {l.name: l.type for l in fg.layers}
+    assert "conv1_bn" not in types  # folded into conv1
+    # res_a feeds both its BN and the eltwise -> BN must NOT fold
+    assert types["res_a_bn"] == "scale"
+    assert types["res_bn"] == "scale"  # eltwise producer is unfoldable
+    fprog = Program(fg, train=False)
+    out = fprog.apply(fp, fs, {"data": data})[0]["fc"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), rtol=2e-4, atol=2e-4)
