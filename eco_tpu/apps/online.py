@@ -1,0 +1,174 @@
+"""Online (streaming) video recognition -- parity with
+scripts/online_recognition/online_recognition.py, TPU-batched.
+
+Semantics reproduced:
+- frames accumulate into 16-frame windows; up to 5 historical windows kept;
+- the sampling-memory schedule ``algo = [[16],[8,8],[4,4,8],[2,2,4,8],
+  [1,1,2,4,8]]`` allocates how many frames each window contributes (newer
+  windows contribute more), each window subsampled by linspace
+  (online_recognition.py:23,64-83);
+- each frame: resize to 256x340, center-crop crop_size, BGR mean subtract
+  (:85-92);
+- prediction = argmax of the *running mean* of fc8 logits over all forwards
+  so far (:94-98).
+
+The TPU upgrade: ``MultiStreamRecognizer`` runs many independent streams in
+one batched forward (videos ride the batch axis), which is how >230 streams/s
+is served on one chip.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eco_tpu.data.sampler import streaming_allocation, subsample_window
+
+BGR_MEAN = np.asarray([104.0, 117.0, 123.0], np.float32)
+
+
+def preprocess_frame(
+    frame: np.ndarray, *, crop_size: int = 224, resize_hw=(256, 340),
+    mean: np.ndarray = BGR_MEAN,
+) -> np.ndarray:
+    """BGR uint8 (H, W, 3) -> float32 (crop, crop, 3), center crop + mean."""
+    import cv2
+
+    if frame.shape[:2] != tuple(resize_hw):
+        frame = cv2.resize(frame, (resize_hw[1], resize_hw[0]))
+    h, w = frame.shape[:2]
+    y = (h - crop_size) // 2
+    x = (w - crop_size) // 2
+    patch = frame[y:y + crop_size, x:x + crop_size].astype(np.float32)
+    return patch - mean
+
+
+@dataclass
+class _StreamState:
+    windows: list = field(default_factory=list)  # list of lists of frames
+    pending: list = field(default_factory=list)
+    logit_sum: Optional[np.ndarray] = None
+    n_forwards: int = 0
+
+
+class OnlineRecognizer:
+    """Single-stream runner. Feed frames; get (label_idx, smoothed_logits)
+    whenever a window completes (None otherwise)."""
+
+    def __init__(
+        self,
+        program,
+        params,
+        state,
+        *,
+        num_segments: int = 16,
+        crop_size: int = 224,
+        max_windows: int = 5,
+        output: str = None,
+    ):
+        self.program = program
+        self.params = params
+        self.state = state
+        self.num_segments = num_segments
+        self.crop_size = crop_size
+        self.max_windows = max_windows
+        self.output = output or (
+            "probs" if "probs" in program.output_names else program.output_names[-1]
+        )
+        self._stream = _StreamState()
+
+        @jax.jit
+        def fwd(params, state, data):
+            outs, _ = program.apply(params, state, {"data": data})
+            return outs[self.output]
+
+        self._fwd = fwd
+
+    def _assemble(self, s: _StreamState) -> np.ndarray:
+        alloc = streaming_allocation(len(s.windows), self.num_segments)
+        # oldest window first, newest last; newest gets the most frames
+        windows = s.windows[-len(alloc):]
+        frames = []
+        for w, count in zip(windows, alloc):
+            frames.extend(subsample_window(w, count))
+        assert len(frames) == self.num_segments
+        return np.stack(frames)  # (S, crop, crop, 3)
+
+    def push_frame(self, frame: np.ndarray):
+        """frame: BGR uint8. Returns (label, logits) after each full window."""
+        s = self._stream
+        s.pending.append(preprocess_frame(frame, crop_size=self.crop_size))
+        if len(s.pending) < self.num_segments:
+            return None
+        s.windows.append(s.pending)
+        s.pending = []
+        if len(s.windows) > self.max_windows:
+            s.windows = s.windows[-self.max_windows:]
+        clip = self._assemble(s)[None]  # (1, S, H, W, 3)
+        logits = np.asarray(self._fwd(self.params, self.state, jnp.asarray(clip)))[0]
+        if s.logit_sum is None:
+            s.logit_sum = np.zeros_like(logits, np.float32)
+        s.logit_sum += logits
+        s.n_forwards += 1
+        smoothed = s.logit_sum / s.n_forwards
+        return int(np.argmax(smoothed)), smoothed
+
+
+class MultiStreamRecognizer:
+    """Many concurrent streams, one batched TPU forward per window tick.
+
+    All streams must tick together (same frame rate); this is the serving
+    shape for the >230 videos/s target.
+    """
+
+    def __init__(self, program, params, state, *, num_streams: int,
+                 num_segments: int = 16, crop_size: int = 224,
+                 max_windows: int = 5, output: str = None):
+        self.n = num_streams
+        self.single = OnlineRecognizer(
+            program, params, state, num_segments=num_segments,
+            crop_size=crop_size, max_windows=max_windows, output=output,
+        )
+        self._streams = [_StreamState() for _ in range(num_streams)]
+
+    def push_frames(self, frames: Sequence[np.ndarray]):
+        """One frame per stream. Returns list of (label, smoothed) or None."""
+        assert len(frames) == self.n
+        ready = []
+        for s, frame in zip(self._streams, frames):
+            s.pending.append(
+                preprocess_frame(frame, crop_size=self.single.crop_size)
+            )
+            if len(s.pending) >= self.single.num_segments:
+                s.windows.append(s.pending)
+                s.pending = []
+                if len(s.windows) > self.single.max_windows:
+                    s.windows = s.windows[-self.single.max_windows:]
+                ready.append(s)
+        if not ready:
+            return [None] * self.n
+        batch = np.stack([self.single._assemble(s) for s in ready])
+        logits = np.asarray(
+            self.single._fwd(
+                self.single.params, self.single.state, jnp.asarray(batch)
+            )
+        )
+        ready_ids = {id(s) for s in ready}
+        results: list = []
+        k = 0
+        for s in self._streams:
+            if id(s) in ready_ids:
+                if s.logit_sum is None:
+                    s.logit_sum = np.zeros_like(logits[k], np.float32)
+                s.logit_sum += logits[k]
+                s.n_forwards += 1
+                k += 1
+                smoothed = s.logit_sum / s.n_forwards
+                results.append((int(np.argmax(smoothed)), smoothed))
+            else:
+                results.append(None)
+        return results

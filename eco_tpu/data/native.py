@@ -1,0 +1,127 @@
+"""ctypes bindings for the native C++ data plane (native/ecodata.cpp).
+
+``NativeVideoPipeline`` is a drop-in alternative to the Python
+``VideoPipeline``: same batch dict contract, but list parsing, segment
+sampling, JPEG decode, augmentation, and double-buffered prefetch all run in
+C++ worker threads (the reference's VideoDataLayer/DataTransformer/
+InternalThread stack was C++, SURVEY.md section 2.2).
+
+The shared library is built on demand with the Makefile in ``native/``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libecodata.so"))
+_lib = None
+
+
+def build_native(force: bool = False) -> str:
+    """Compile libecodata.so if missing; returns its path."""
+    src = os.path.join(_NATIVE_DIR, "ecodata.cpp")
+    if force or not os.path.exists(_LIB_PATH) or (
+        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    ):
+        subprocess.run(
+            ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+        )
+    return _LIB_PATH
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    lib = ctypes.CDLL(build_native())
+    lib.eco_loader_create.restype = ctypes.c_void_p
+    lib.eco_loader_create.argtypes = [
+        ctypes.c_char_p,  # list_path
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # batch,S,L,crop
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # threads, train, shuffle
+        ctypes.c_uint64,  # seed
+        ctypes.c_char_p,  # pattern
+        ctypes.c_float, ctypes.c_float, ctypes.c_float,  # mean BGR
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        # fix_crop, more_fix_crop, multi_scale, max_distort, mirror
+        ctypes.c_int, ctypes.c_int,  # new_height, new_width
+        ctypes.c_int, ctypes.c_int,  # rank, world
+    ]
+    lib.eco_loader_next.restype = ctypes.c_int
+    lib.eco_loader_next.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.eco_loader_num_videos.restype = ctypes.c_int
+    lib.eco_loader_num_videos.argtypes = [ctypes.c_void_p]
+    lib.eco_loader_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+class NativeVideoPipeline:
+    """Same interface as VideoPipeline, backed by libecodata."""
+
+    def __init__(self, cfg, *, train: bool, seed: int = 0, rank: int = 0,
+                 world: int = 1, num_workers: int = 8):
+        lib = _load()
+        t = cfg.transform
+        self.cfg = cfg
+        self._lib = lib
+        self._handle = lib.eco_loader_create(
+            cfg.source.encode(),
+            cfg.batch_size, cfg.num_segments, cfg.new_length,
+            t.crop_size, num_workers, int(train), int(cfg.shuffle),
+            seed, cfg.name_pattern.encode(),
+            float(t.mean_values[0]),
+            float(t.mean_values[1 % len(t.mean_values)]),
+            float(t.mean_values[2 % len(t.mean_values)]),
+            int(t.fix_crop), int(t.more_fix_crop), int(t.multi_scale),
+            int(t.max_distort), int(t.mirror),
+            cfg.new_height, cfg.new_width, rank, world,
+        )
+        if not self._handle:
+            raise RuntimeError(f"failed to open video list {cfg.source!r}")
+        T = cfg.num_segments * cfg.new_length
+        self._data = np.empty(
+            (cfg.batch_size, T, t.crop_size, t.crop_size, 3), np.float32
+        )
+        self._label = np.empty((cfg.batch_size,), np.int32)
+
+    @property
+    def num_videos(self) -> int:
+        return self._lib.eco_loader_num_videos(self._handle)
+
+    def next_batch(self):
+        rc = self._lib.eco_loader_next(
+            self._handle,
+            self._data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._label.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc != 0:
+            raise RuntimeError("native loader stopped")
+        return {"data": self._data.copy(), "label": self._label.copy()}
+
+    def __iter__(self):
+        while True:
+            yield self.next_batch()
+
+    def close(self):
+        if self._handle:
+            self._lib.eco_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass

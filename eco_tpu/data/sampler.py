@@ -57,14 +57,21 @@ def frame_indices(offsets, skips, new_length: int = 1, step: int = 1):
     return offsets + j * step + np.asarray(skips)
 
 
-def streaming_allocation(num_windows: int, window: int = 16):
+def streaming_allocation(num_windows: int, total: int = 16):
     """The online-recognition sampling-memory schedule
     (scripts/online_recognition/online_recognition.py:23): with k historical
     windows active, window j (oldest first) contributes algo[k-1][j] frames,
-    newer windows contributing more."""
+    newer windows contributing more.  For ``total != 16`` the 16-frame table
+    is rescaled proportionally (newest window absorbs rounding)."""
     algo = [[16], [8, 8], [4, 4, 8], [2, 2, 4, 8], [1, 1, 2, 4, 8]]
     k = min(num_windows, len(algo))
-    return algo[k - 1]
+    alloc = algo[k - 1]
+    if total != 16:
+        alloc = [max(1, a * total // 16) for a in alloc]
+        alloc[-1] += total - sum(alloc)
+        if alloc[-1] < 1:
+            raise ValueError(f"total={total} too small for {k} windows")
+    return alloc
 
 
 def subsample_window(frames, count: int):

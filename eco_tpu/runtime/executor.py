@@ -347,6 +347,44 @@ class _Silence(LayerImpl):
         return [], None
 
 
+class _Gather(LayerImpl):
+    """Model-parallel section entry (reference gather_layer.cpp): allgather
+    activations along the batch so downstream layers run replicated.
+
+    TPU-native translation: a sharding constraint releasing the batch axis to
+    replication -- GSPMD inserts the all-gather over ICI.  Outside a mesh
+    context this is the identity (single-device semantics: world == 1).
+    """
+
+    SPEC = None  # PartitionSpec() == replicated
+
+    def apply(self, spec, params, state, inputs, ctx):
+        try:
+            from jax.sharding import PartitionSpec as P
+
+            return [jax.lax.with_sharding_constraint(inputs[0], P())], None
+        except Exception:
+            return [inputs[0]], None
+
+
+class _Scatter(LayerImpl):
+    """Model-parallel section exit: re-shard the batch axis over ``data``
+    (reference scatter_layer.cpp is the inverse slice; backward scaling is
+    handled by autodiff through the constraint)."""
+
+    def apply(self, spec, params, state, inputs, ctx):
+        try:
+            from jax.sharding import PartitionSpec as P
+
+            from eco_tpu.parallel.mesh import DATA_AXIS
+
+            x = inputs[0]
+            spec_axes = [DATA_AXIS] + [None] * (x.ndim - 1)
+            return [jax.lax.with_sharding_constraint(x, P(*spec_axes))], None
+        except Exception:
+            return [inputs[0]], None
+
+
 IMPLS: dict[str, LayerImpl] = {
     "convolution": _Conv(),
     "deconvolution": _Conv(),
@@ -371,6 +409,8 @@ IMPLS: dict[str, LayerImpl] = {
     "power": _Power(),
     "slice": _Slice(),
     "silence": _Silence(),
+    "gather": _Gather(),
+    "scatter": _Scatter(),
 }
 
 

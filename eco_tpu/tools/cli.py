@@ -1,0 +1,285 @@
+"""``eco`` command-line interface -- tools/caffe.cpp parity.
+
+Subcommands (mirroring ``caffe train/test/time/device_query``):
+
+  train        --solver solver.prototxt [--net x.prototxt | --zoo name]
+               [--weights a.npz,b.npz | --caffe-weights a.caffemodel,...]
+               [--snapshot state.solverstate.npz] [--list train.txt]
+  test         --net ... --weights m.model.npz --list val.txt --iterations N
+  time         --zoo eco_lite_kinetics [--batch N --segments S --iters K]
+  device-query
+  convert      --caffemodel m.caffemodel --net deploy.prototxt -o m.model.npz
+  fold         --net ... --weights m.model.npz -o folded  (gen_bn_inference)
+
+Run as ``python -m eco_tpu.tools.cli <cmd> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _build_graph(args, *, with_loss: bool):
+    from eco_tpu.models import get_model
+    from eco_tpu.spec.prototxt import graph_from_prototxt
+
+    if getattr(args, "zoo", None):
+        return get_model(
+            args.zoo,
+            num_segments=args.segments,
+            with_loss=with_loss,
+            batch=args.batch,
+        )
+    if getattr(args, "net", None):
+        return graph_from_prototxt(open(args.net).read())
+    raise SystemExit("need --zoo or --net")
+
+
+def _data_cfg_from_graph(graph, phase: str, list_override=None):
+    """Build a VideoDataConfig from the graph's VideoData layer (if any)."""
+    from eco_tpu.data import TransformConfig, VideoDataConfig
+
+    for l in graph.layers:
+        if l.type == "videodata" and l.phase in (None, phase):
+            t = dict(l.opt("transform", {}) or {})
+            mv = t.get("mean_value", (104, 117, 123))
+            if not isinstance(mv, (list, tuple)):
+                mv = (mv,)
+            tc = TransformConfig(
+                crop_size=int(t.get("crop_size", 224)),
+                mirror=bool(t.get("mirror", False)),
+                fix_crop=bool(t.get("fix_crop", False)),
+                more_fix_crop=bool(t.get("more_fix_crop", False)),
+                multi_scale=bool(t.get("multi_scale", False)),
+                max_distort=int(t.get("max_distort", 1)),
+                scale_ratios=tuple(t.get("scale_ratios", (1, 0.875, 0.75, 0.66))),
+                is_flow=bool(t.get("is_flow", False)),
+                mean_values=tuple(float(m) for m in mv[:3]),
+                scale=float(t.get("scale", 1.0)),
+            )
+            return VideoDataConfig(
+                source=list_override or str(l.opt("source", "")),
+                batch_size=int(l.opt("batch_size", 8)),
+                new_length=int(l.opt("new_length", 1)),
+                num_segments=int(l.opt("num_segments", 16)),
+                modality=str(l.opt("modality", "RGB")),
+                shuffle=bool(l.opt("shuffle", False)),
+                name_pattern=str(l.opt("name_pattern", "img_%04d.jpg")),
+                new_height=int(l.opt("new_height", 0)),
+                new_width=int(l.opt("new_width", 0)),
+                step=int(l.opt("step", 1)),
+                rand_step=bool(l.opt("rand_step", False)),
+                transform=tc,
+            )
+    return None
+
+
+def cmd_device_query(args):
+    import jax
+
+    for d in jax.devices():
+        print(f"device {d.id}: {d.device_kind} ({d.platform})")
+
+
+def cmd_time(args):
+    import jax
+    import jax.numpy as jnp
+
+    from eco_tpu.runtime import Program
+    from eco_tpu.runtime.profiler import format_layer_times, time_layers
+
+    graph = _build_graph(args, with_loss=False)
+    prog = Program(graph, train=False,
+                   compute_dtype=jnp.bfloat16 if args.bf16 else None)
+    shape = graph.inputs.get("data")
+    data = jnp.asarray(
+        np.random.default_rng(0).standard_normal(shape), jnp.float32
+    )
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    rows = time_layers(prog, params, state, {"data": data}, iters=args.iters)
+    print(format_layer_times(rows))
+
+
+def cmd_train(args):
+    import jax
+
+    from eco_tpu.data import VideoPipeline
+    from eco_tpu.runtime import Program
+    from eco_tpu.train import restore_weights
+    from eco_tpu.train.loop import Trainer, solver_config_from_prototxt
+
+    cfg = solver_config_from_prototxt(open(args.solver).read())
+    if args.net is None and args.zoo is None:
+        from eco_tpu.spec.prototxt import parse_prototxt
+
+        net_file = parse_prototxt(open(args.solver).read()).get("net")
+        args.net = os.path.join(os.path.dirname(args.solver), net_file)
+    graph = _build_graph(args, with_loss=True)
+    train_prog = Program(graph, train=True)
+    test_prog = Program(graph, train=False)
+
+    dcfg = _data_cfg_from_graph(graph, "train", args.list)
+    if dcfg is None:
+        raise SystemExit("graph has no VideoData layer; use the python API")
+    pipe = VideoPipeline(dcfg, train=True, seed=cfg.random_seed)
+
+    def micro_batches():
+        while True:
+            ms = [pipe.next_batch() for _ in range(cfg.iter_size)]
+            yield {
+                "data": np.stack([m["data"] for m in ms]),
+                "label": np.stack([m["label"] for m in ms]),
+            }
+
+    it = micro_batches()
+    first = next(it)
+    trainer = Trainer(train_prog, cfg, test_program=test_prog)
+    ts = trainer.init_state(
+        {k: v[0] for k, v in first.items()}, seed=cfg.random_seed
+    )
+    if args.weights:
+        params, state, loaded = restore_weights(args.weights, ts.params, ts.state)
+        import dataclasses
+
+        ts = dataclasses.replace(ts, params=params, state=state)
+        print(f"Transferred {len(loaded)} layers from {args.weights}")
+    if args.caffe_weights:
+        from eco_tpu.convert import import_caffe_weights
+        import dataclasses
+
+        params, state, report = import_caffe_weights(
+            graph, ts.params, ts.state, args.caffe_weights
+        )
+        ts = dataclasses.replace(ts, params=params, state=state)
+        print(f"Imported {len(report['loaded'])} caffemodel layers")
+
+    import itertools
+
+    ts = trainer.solve(
+        ts, itertools.chain([first], it), resume_from=args.snapshot or None
+    )
+    pipe.close()
+
+
+def cmd_test(args):
+    import jax
+    import jax.numpy as jnp
+
+    from eco_tpu.data import VideoPipeline
+    from eco_tpu.runtime import Program
+    from eco_tpu.train import load_model
+    from eco_tpu.train.loop import Trainer, SolverConfig
+
+    graph = _build_graph(args, with_loss=True)
+    prog = Program(graph, train=False)
+    dcfg = _data_cfg_from_graph(graph, "test", args.list)
+    pipe = VideoPipeline(dcfg, train=False, seed=0)
+    params, state = load_model(args.weights)
+    from eco_tpu.train.solver import init_train_state
+
+    ts = init_train_state(params, state)
+    trainer = Trainer(prog, SolverConfig(), test_program=prog)
+    batches = (pipe.next_batch() for _ in range(args.iterations))
+    means = trainer.test(ts, batches)
+    pipe.close()
+    return means
+
+
+def cmd_convert(args):
+    import jax
+
+    from eco_tpu.convert import import_caffe_weights
+    from eco_tpu.runtime import Program
+    from eco_tpu.spec.prototxt import graph_from_prototxt
+    from eco_tpu.train import save_model
+    import jax.numpy as jnp
+
+    graph = graph_from_prototxt(open(args.net).read())
+    prog = Program(graph, train=False)
+    sample = {
+        k: jnp.zeros(shape, jnp.float32) for k, shape in graph.inputs.items()
+    }
+    params, state = prog.init(jax.random.PRNGKey(0), sample)
+    params, state, report = import_caffe_weights(
+        graph, params, state, args.caffemodel, bn_style=args.bn_style
+    )
+    save_model(args.output, params, state)
+    print(
+        f"Converted {len(report['loaded'])} layers "
+        f"({len(report['skipped'])} skipped) -> {args.output}"
+    )
+
+
+def cmd_fold(args):
+    import jax
+    import jax.numpy as jnp
+
+    from eco_tpu.convert import fold_bn
+    from eco_tpu.runtime import Program
+    from eco_tpu.spec.prototxt import graph_from_prototxt
+    from eco_tpu.train import load_model, save_model
+
+    graph = _build_graph(args, with_loss=False)
+    params, state = load_model(args.weights)
+    fg, fp, fs = fold_bn(graph, params, state)
+    save_model(args.output, fp, fs)
+    print(f"Folded model -> {args.output} ({len(fg.layers)} layers)")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="eco")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--zoo")
+        sp.add_argument("--net")
+        sp.add_argument("--batch", type=int, default=4)
+        sp.add_argument("--segments", type=int, default=16)
+        sp.add_argument("--list", default=None)
+
+    sp = sub.add_parser("train")
+    common(sp)
+    sp.add_argument("--solver", required=True)
+    sp.add_argument("--weights", default=None)
+    sp.add_argument("--caffe-weights", default=None)
+    sp.add_argument("--snapshot", default=None)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("test")
+    common(sp)
+    sp.add_argument("--weights", required=True)
+    sp.add_argument("--iterations", type=int, default=50)
+    sp.set_defaults(fn=cmd_test)
+
+    sp = sub.add_parser("time")
+    common(sp)
+    sp.add_argument("--iters", type=int, default=10)
+    sp.add_argument("--bf16", action="store_true")
+    sp.set_defaults(fn=cmd_time)
+
+    sp = sub.add_parser("device-query")
+    sp.set_defaults(fn=cmd_device_query)
+
+    sp = sub.add_parser("convert")
+    sp.add_argument("--caffemodel", required=True)
+    sp.add_argument("--net", required=True)
+    sp.add_argument("--bn-style", default="var", choices=["var", "inv_std"])
+    sp.add_argument("-o", "--output", required=True)
+    sp.set_defaults(fn=cmd_convert)
+
+    sp = sub.add_parser("fold")
+    common(sp)
+    sp.add_argument("--weights", required=True)
+    sp.add_argument("-o", "--output", required=True)
+    sp.set_defaults(fn=cmd_fold)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,185 @@
+"""Host-side training driver -- Solver::Solve/Step/TestAll parity
+(solver.cpp:168-518) over the jitted train step.
+
+Features mirrored: ``iter_size`` micro-batching (delegated to the step),
+smoothed-loss window (``average_loss``, solver.cpp:230-239), display
+interval with lr reporting, periodic test passes running ``test_iter``
+batches and averaging metric tops (solver.cpp:450-518), snapshot interval +
+final snapshot, resume from a solverstate, and multi-artifact transfer init.
+"""
+
+from __future__ import annotations
+
+import collections
+import time
+from dataclasses import dataclass
+from typing import Callable, Iterable, Iterator, Mapping, Optional
+
+import numpy as np
+import jax
+
+from eco_tpu.train.checkpoint import restore, snapshot
+from eco_tpu.train.solver import (
+    SolverConfig,
+    TrainState,
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def solver_config_from_prototxt(text: str) -> SolverConfig:
+    """Parse a solver.prototxt into SolverConfig (SolverParameter subset)."""
+    from eco_tpu.spec.prototxt import parse_prototxt
+
+    d = parse_prototxt(text)
+    typ = str(d.get("solver_type", "SGD")).lower()
+    stepvalues = d.get("stepvalue", ())
+    if not isinstance(stepvalues, (list, tuple)):
+        stepvalues = (stepvalues,)
+    return SolverConfig(
+        base_lr=float(d.get("base_lr", 0.01)),
+        lr_policy=str(d.get("lr_policy", "fixed")),
+        gamma=float(d.get("gamma", 0.1)),
+        stepsize=int(d.get("stepsize", 100000)),
+        stepvalues=tuple(int(s) for s in stepvalues),
+        power=float(d.get("power", 1.0)),
+        max_iter=int(d.get("max_iter", 10000)),
+        momentum=float(d.get("momentum", 0.9)),
+        weight_decay=float(d.get("weight_decay", 0.0)),
+        regularization_type=str(d.get("regularization_type", "L2")),
+        clip_gradients=float(d.get("clip_gradients", -1)),
+        iter_size=int(d.get("iter_size", 1)),
+        solver_type=typ,
+        display=int(d.get("display", 0)),
+        average_loss=int(d.get("average_loss", 1)),
+        snapshot=int(d.get("snapshot", 0)),
+        snapshot_prefix=str(d.get("snapshot_prefix", "snapshots/eco")),
+        test_iter=int(d.get("test_iter", 0)),
+        test_interval=int(d.get("test_interval", 0)),
+        random_seed=int(d.get("random_seed", 0)),
+    )
+
+
+class Trainer:
+    """Drives train/test programs against data iterators.
+
+    ``train_iter`` must yield {"data": (iter_size, N, ...), "label":
+    (iter_size, N)} micro-batched arrays; ``test_iter_fn`` returns a fresh
+    iterator of {"data": (N, ...), "label": (N,)} eval batches.
+    """
+
+    def __init__(
+        self,
+        train_program,
+        cfg: SolverConfig,
+        *,
+        test_program=None,
+        step_fn: Optional[Callable] = None,
+        log_fn: Callable[[str], None] = print,
+    ):
+        self.cfg = cfg
+        self.train_program = train_program
+        self.test_program = test_program
+        self.step = step_fn or jax.jit(make_train_step(train_program, cfg))
+        self.eval_step = (
+            jax.jit(make_eval_step(test_program)) if test_program is not None else None
+        )
+        self.log = log_fn
+        self.loss_window: collections.deque = collections.deque(
+            maxlen=max(1, cfg.average_loss)
+        )
+
+    def init_state(self, sample_micro: Mapping, seed: int = 0) -> TrainState:
+        params, state = self.train_program.init(
+            jax.random.PRNGKey(seed), sample_micro
+        )
+        return init_train_state(params, state)
+
+    def solve(
+        self,
+        ts: TrainState,
+        train_iter: Iterator,
+        *,
+        test_iter_fn: Optional[Callable[[], Iterable]] = None,
+        resume_from: Optional[str] = None,
+        hooks: Iterable[Callable] = (),
+    ) -> TrainState:
+        cfg = self.cfg
+        if resume_from:
+            ts = restore(resume_from, ts)
+            self.log(f"Resumed from {resume_from} at iter {int(ts.it)}")
+        rng = jax.random.PRNGKey(cfg.random_seed)
+        t_last = time.perf_counter()
+        while int(ts.it) < cfg.max_iter:
+            it = int(ts.it)
+            if (
+                cfg.test_interval
+                and it > 0
+                and it % cfg.test_interval == 0
+                and test_iter_fn is not None
+                and self.eval_step is not None
+            ):
+                self.test(ts, test_iter_fn())
+            batch = next(train_iter)
+            rng, sub = jax.random.split(rng)
+            ts, metrics = self.step(ts, batch, sub)
+            self.loss_window.append(float(metrics["loss"]))
+            for hook in hooks:
+                hook(it, ts, metrics)
+            if cfg.display and it % cfg.display == 0:
+                dt = time.perf_counter() - t_last
+                t_last = time.perf_counter()
+                smoothed = float(np.mean(self.loss_window))
+                self.log(
+                    f"Iteration {it}, loss = {smoothed:.4f} "
+                    f"(lr={float(metrics['lr']):.2e}, "
+                    f"|g|={float(metrics['grad_norm']):.2f}, {dt:.2f}s)"
+                )
+            if cfg.snapshot and int(ts.it) % cfg.snapshot == 0:
+                self._snapshot(ts)
+        if cfg.snapshot and int(ts.it) % cfg.snapshot != 0:
+            self._snapshot(ts)
+        return ts
+
+    def test(self, ts: TrainState, batches: Iterable) -> dict[str, float]:
+        """Average scalar metric tops over test batches (Solver::Test)."""
+        sums: dict[str, float] = collections.defaultdict(float)
+        n = 0
+        for batch in batches:
+            outs = self.eval_step(ts.params, ts.state, batch)
+            for k, v in outs.items():
+                sums[k] += float(v)
+            n += 1
+        means = {k: v / max(n, 1) for k, v in sums.items()}
+        self.log(
+            "Test: " + ", ".join(f"{k} = {v:.4f}" for k, v in sorted(means.items()))
+        )
+        return means
+
+    def _snapshot(self, ts: TrainState):
+        mp, sp = snapshot(self.cfg.snapshot_prefix, ts, int(ts.it))
+        self.log(f"Snapshotting to {mp}")
+
+
+def polyak_average(model_paths, out_path=None):
+    """Average the params of K snapshots (reference polyak_average.py)."""
+    from eco_tpu.train.checkpoint import load_model, save_model
+
+    import jax.numpy as jnp
+
+    acc_p = None
+    acc_s = None
+    for p in model_paths:
+        params, state = load_model(p)
+        if acc_p is None:
+            acc_p, acc_s = params, state
+        else:
+            acc_p = jax.tree.map(jnp.add, acc_p, params)
+            acc_s = jax.tree.map(jnp.add, acc_s, state)
+    k = float(len(model_paths))
+    acc_p = jax.tree.map(lambda x: x / k, acc_p)
+    acc_s = jax.tree.map(lambda x: x / k, acc_s)
+    if out_path:
+        save_model(out_path, acc_p, acc_s)
+    return acc_p, acc_s

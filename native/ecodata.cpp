@@ -1,0 +1,377 @@
+// libecodata: native data plane for eco_tpu.
+//
+// C++ counterpart of the reference's C++ data stack (VideoDataLayer +
+// DataTransformer + InternalThread prefetching,
+// caffe_3d/src/caffe/layers/video_data_layer.cpp,
+// src/caffe/data_transformer.cpp, base_data_layer.cpp): list parsing,
+// uniform segment sampling, JPEG frame decode (OpenCV), multi-scale
+// fixed-grid crop augmentation, mirror, mean-subtract -- all off the Python
+// GIL on a worker pool, double-buffered so the accelerator never waits on
+// the host.  Exposed as a plain C ABI for ctypes (no pybind11 in this
+// image).
+//
+// Semantics match eco_tpu/data/{sampler,transform}.py (and through them the
+// reference); RNG streams differ (std::mt19937_64 vs numpy) which only
+// affects which random augmentation is drawn.
+
+#include <opencv2/core.hpp>
+#include <opencv2/imgcodecs.hpp>
+#include <opencv2/imgproc.hpp>
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <mutex>
+#include <random>
+#include <sstream>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Record {
+  std::string path;
+  int num_frames;
+  int label;
+};
+
+struct Config {
+  int batch = 8;
+  int segments = 16;
+  int new_length = 1;
+  int crop = 224;
+  int threads = 8;
+  bool train = true;
+  bool shuffle = true;
+  std::string pattern = "img_%04d.jpg";
+  float mean[3] = {104.f, 117.f, 123.f};
+  bool fix_crop = true;
+  bool more_fix_crop = true;
+  bool multi_scale = true;
+  int max_distort = 1;
+  bool mirror = true;
+  int new_height = 0;
+  int new_width = 0;
+  int rank = 0;
+  int world = 1;
+};
+
+// ---- sampling (video_data_layer.cpp:152-190 semantics) --------------------
+
+void sample_offsets(int n_frames, const Config& c, std::mt19937_64& rng,
+                    std::vector<int>* offsets) {
+  const double avg = double(n_frames) / c.segments;
+  offsets->clear();
+  for (int i = 0; i < c.segments; ++i) {
+    if (c.train) {
+      if (avg >= c.new_length) {
+        std::uniform_int_distribution<int> d(0, int(avg) - c.new_length);
+        offsets->push_back(int(d(rng) + i * avg));
+      } else {
+        offsets->push_back(int(i * avg));
+      }
+    } else {
+      if (avg >= c.new_length)
+        offsets->push_back(int((avg - c.new_length + 1) / 2 + i * avg));
+      else
+        offsets->push_back(0);
+    }
+  }
+}
+
+// ---- crop geometry (data_transformer.cpp:50-104) ---------------------------
+
+void fill_fix_offsets(int h, int w, int ch, int cw, bool more,
+                      std::vector<std::pair<int, int>>* offs) {
+  int ho = (h - ch) / 4, wo = (w - cw) / 4;
+  offs->assign({{0, 0}, {0, 4 * wo}, {4 * ho, 0}, {4 * ho, 4 * wo},
+                {2 * ho, 2 * wo}});
+  if (more) {
+    offs->insert(offs->end(),
+                 {{0, 2 * wo}, {4 * ho, 2 * wo}, {2 * ho, 0}, {2 * ho, 4 * wo},
+                  {ho, wo}, {ho, 3 * wo}, {3 * ho, wo}, {3 * ho, 3 * wo}});
+  }
+}
+
+void fill_crop_sizes(int h, int w, int net, int max_distort,
+                     std::vector<std::pair<int, int>>* sizes) {
+  static const float ratios[4] = {1.f, .875f, .75f, .66f};
+  int base = std::min(h, w);
+  sizes->clear();
+  for (int i = 0; i < 4; ++i) {
+    int ch = int(base * ratios[i]);
+    if (std::abs(ch - net) < 3) ch = net;
+    for (int j = 0; j < 4; ++j) {
+      int cw = int(base * ratios[j]);
+      if (std::abs(cw - net) < 3) cw = net;
+      if (std::abs(i - j) <= max_distort) sizes->push_back({ch, cw});
+    }
+  }
+}
+
+struct Loader {
+  Config cfg;
+  std::vector<Record> records;
+  size_t cursor = 0;
+  std::mt19937_64 shuffle_rng, frame_rng;
+  // 2-slot ring: producer fills fill_slot while consumer drains read_slot
+  std::vector<float> buf_data[2];
+  std::vector<int32_t> buf_label[2];
+  int ready_count = 0;  // 0..2 filled, unconsumed slots
+  int fill_slot = 0;
+  int read_slot = 0;
+  bool stop = false;
+  bool error = false;
+  std::string error_msg;
+  std::mutex mu;
+  std::condition_variable cv_ready, cv_free;
+  std::thread producer;
+
+  size_t item_floats() const {
+    return size_t(cfg.segments) * cfg.new_length * cfg.crop * cfg.crop * 3;
+  }
+  size_t batch_floats() const { return item_floats() * cfg.batch; }
+
+  void shuffle_records() {
+    std::shuffle(records.begin(), records.end(), shuffle_rng);
+  }
+
+  void advance(size_t n) {
+    cursor += n;
+    while (cursor >= records.size()) {
+      cursor -= records.size();
+      if (cfg.shuffle) shuffle_records();
+    }
+  }
+
+  // Load + transform one video into out[item_floats()].
+  bool load_one(const Record& rec, uint64_t seed, float* out) {
+    std::mt19937_64 rng(seed);
+    std::vector<int> offsets;
+    sample_offsets(rec.num_frames, cfg, rng, &offsets);
+    const int T = cfg.segments * cfg.new_length;
+    std::vector<cv::Mat> frames;
+    frames.reserve(T);
+    cv::Mat last;
+    char namebuf[512];
+    for (int s = 0; s < cfg.segments; ++s) {
+      for (int j = 0; j < cfg.new_length; ++j) {
+        int fidx = std::min(offsets[s] + j, rec.num_frames - 1);
+        snprintf(namebuf, sizeof(namebuf), cfg.pattern.c_str(), fidx + 1);
+        cv::Mat img = cv::imread(rec.path + "/" + namebuf, cv::IMREAD_COLOR);
+        if (img.empty()) {
+          if (last.empty()) return false;  // skip unreadable video
+          img = last;
+        } else {
+          if (cfg.new_height > 0 && cfg.new_width > 0)
+            cv::resize(img, img, cv::Size(cfg.new_width, cfg.new_height), 0, 0,
+                       cv::INTER_LINEAR);
+          last = img;
+        }
+        frames.push_back(img);
+      }
+    }
+    const int H = frames[0].rows, W = frames[0].cols, cs = cfg.crop;
+    if (H < cs || W < cs) return false;
+
+    // one augmentation decision per video
+    int crop_h = cs, crop_w = cs, h_off = (H - cs) / 2, w_off = (W - cs) / 2;
+    bool do_mirror = false;
+    if (cfg.train) {
+      if (cfg.multi_scale) {
+        std::vector<std::pair<int, int>> sizes;
+        fill_crop_sizes(H, W, cs, cfg.max_distort, &sizes);
+        auto pick = sizes[std::uniform_int_distribution<size_t>(
+            0, sizes.size() - 1)(rng)];
+        crop_h = pick.first;
+        crop_w = pick.second;
+      }
+      if (cfg.fix_crop) {
+        std::vector<std::pair<int, int>> offs;
+        fill_fix_offsets(H, W, crop_h, crop_w, cfg.more_fix_crop, &offs);
+        auto pick = offs[std::uniform_int_distribution<size_t>(
+            0, offs.size() - 1)(rng)];
+        h_off = pick.first;
+        w_off = pick.second;
+      } else {
+        h_off = std::uniform_int_distribution<int>(0, H - crop_h)(rng);
+        w_off = std::uniform_int_distribution<int>(0, W - crop_w)(rng);
+      }
+      do_mirror =
+          cfg.mirror && std::uniform_int_distribution<int>(0, 1)(rng) == 1;
+    }
+
+    for (int t = 0; t < T; ++t) {
+      cv::Mat patch = frames[t](cv::Rect(w_off, h_off, crop_w, crop_h));
+      cv::Mat sized;
+      if (crop_h != cs || crop_w != cs)
+        cv::resize(patch, sized, cv::Size(cs, cs), 0, 0, cv::INTER_LINEAR);
+      else
+        sized = patch;
+      float* dst = out + size_t(t) * cs * cs * 3;
+      for (int y = 0; y < cs; ++y) {
+        const uint8_t* row = sized.ptr<uint8_t>(y);
+        float* drow = dst + size_t(y) * cs * 3;
+        for (int x = 0; x < cs; ++x) {
+          int sx = do_mirror ? (cs - 1 - x) : x;
+          const uint8_t* px = row + sx * 3;
+          float* dpx = drow + x * 3;
+          dpx[0] = float(px[0]) - cfg.mean[0];  // B
+          dpx[1] = float(px[1]) - cfg.mean[1];  // G
+          dpx[2] = float(px[2]) - cfg.mean[2];  // R
+        }
+      }
+    }
+    return true;
+  }
+
+  void fill_batch(float* data, int32_t* labels) {
+    struct Item {
+      Record rec;
+      uint64_t seed;
+      float* dst;
+      int32_t* label;
+    };
+    std::vector<Item> items;
+    for (int i = 0; i < cfg.batch; ++i) {
+      const Record& rec = records[cursor % records.size()];
+      advance(1);
+      items.push_back({rec, frame_rng(), data + size_t(i) * item_floats(),
+                       labels + i});
+    }
+    advance(size_t(cfg.world - 1) * cfg.batch);  // MPI-style cursor shard
+    std::atomic<size_t> next(0);
+    auto worker = [&]() {
+      size_t i;
+      while ((i = next.fetch_add(1)) < items.size()) {
+        Item& it = items[i];
+        *it.label = it.rec.label;
+        if (!load_one(it.rec, it.seed, it.dst)) {
+          // unreadable video: zero-fill (reference skips; we keep shapes)
+          std::memset(it.dst, 0, item_floats() * sizeof(float));
+        }
+      }
+    };
+    std::vector<std::thread> pool;
+    int nthreads = std::max(1, std::min<int>(cfg.threads, cfg.batch));
+    for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+
+  void producer_loop() {
+    for (;;) {
+      int slot;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_free.wait(lk, [&] { return stop || ready_count < 2; });
+        if (stop) return;
+        slot = fill_slot;
+      }
+      fill_batch(buf_data[slot].data(), buf_label[slot].data());
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        fill_slot ^= 1;
+        ++ready_count;
+      }
+      cv_ready.notify_one();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+Loader* eco_loader_create(const char* list_path, int batch, int segments,
+                          int new_length, int crop, int threads, int train,
+                          int shuffle, uint64_t seed, const char* pattern,
+                          float mean_b, float mean_g, float mean_r,
+                          int fix_crop, int more_fix_crop, int multi_scale,
+                          int max_distort, int mirror, int new_height,
+                          int new_width, int rank, int world) {
+  auto* l = new Loader();
+  Config& c = l->cfg;
+  c.batch = batch;
+  c.segments = segments;
+  c.new_length = new_length;
+  c.crop = crop;
+  c.threads = threads;
+  c.train = train != 0;
+  c.shuffle = shuffle != 0;
+  c.pattern = pattern;
+  c.mean[0] = mean_b;
+  c.mean[1] = mean_g;
+  c.mean[2] = mean_r;
+  c.fix_crop = fix_crop != 0;
+  c.more_fix_crop = more_fix_crop != 0;
+  c.multi_scale = multi_scale != 0;
+  c.max_distort = max_distort;
+  c.mirror = mirror != 0;
+  c.new_height = new_height;
+  c.new_width = new_width;
+  c.rank = rank;
+  c.world = world;
+
+  std::ifstream f(list_path);
+  if (!f) {
+    delete l;
+    return nullptr;
+  }
+  std::string line;
+  while (std::getline(f, line)) {
+    std::istringstream ss(line);
+    Record r;
+    if (ss >> r.path >> r.num_frames >> r.label) l->records.push_back(r);
+  }
+  if (l->records.empty()) {
+    delete l;
+    return nullptr;
+  }
+  l->shuffle_rng.seed(seed);
+  l->frame_rng.seed(seed + 1);
+  if (c.shuffle) l->shuffle_records();
+  l->cursor = size_t(rank) * batch % l->records.size();
+  l->buf_data[0].resize(l->batch_floats());
+  l->buf_data[1].resize(l->batch_floats());
+  l->buf_label[0].resize(batch);
+  l->buf_label[1].resize(batch);
+  l->producer = std::thread([l] { l->producer_loop(); });
+  return l;
+}
+
+// Copies the next batch into caller buffers. data: batch*S*L*crop*crop*3
+// floats (channels-last BGR, mean-subtracted); labels: batch int32.
+int eco_loader_next(Loader* l, float* data, int32_t* labels) {
+  std::unique_lock<std::mutex> lk(l->mu);
+  l->cv_ready.wait(lk, [&] { return l->stop || l->ready_count > 0; });
+  if (l->stop) return -1;
+  int slot = l->read_slot;
+  std::memcpy(data, l->buf_data[slot].data(),
+              l->batch_floats() * sizeof(float));
+  std::memcpy(labels, l->buf_label[slot].data(),
+              l->cfg.batch * sizeof(int32_t));
+  l->read_slot ^= 1;
+  --l->ready_count;
+  lk.unlock();
+  l->cv_free.notify_one();
+  return 0;
+}
+
+int eco_loader_num_videos(Loader* l) { return int(l->records.size()); }
+
+void eco_loader_destroy(Loader* l) {
+  {
+    std::lock_guard<std::mutex> lk(l->mu);
+    l->stop = true;
+  }
+  l->cv_free.notify_all();
+  l->cv_ready.notify_all();
+  if (l->producer.joinable()) l->producer.join();
+  delete l;
+}
+
+}  // extern "C"

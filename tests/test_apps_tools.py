@@ -1,0 +1,189 @@
+"""Online recognizer, trainer loop, profiler, CLI."""
+
+import io
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eco_tpu.apps import MultiStreamRecognizer, OnlineRecognizer, preprocess_frame
+from eco_tpu.runtime import Program
+from eco_tpu.runtime.profiler import debug_info, format_layer_times, time_layers
+from eco_tpu.spec.netspec import NetBuilder
+from eco_tpu.train import SolverConfig, init_train_state
+from eco_tpu.train.loop import Trainer, polyak_average, solver_config_from_prototxt
+
+
+def _tiny_video_model(num_classes=4, S=4, crop=32):
+    b = NetBuilder("tiny_eco")
+    x = b.input("data", (1, S, crop, crop, 3))
+    x = b.layer("fold", "fold_segments", x)
+    x = b.conv_bn_relu("conv1", x, 8, k=3, s=2, p=1)
+    x = b.layer("unfold", "unfold_segments", x, num_segments=S)
+    x = b.layer("gap", "global_avg_pool", x)
+    y = b.fc("fc8", x, num_classes)
+    b.layer("probs", "softmax", y)
+    return b.build()
+
+
+def test_preprocess_frame():
+    frame = np.full((256, 340, 3), 120, np.uint8)
+    out = preprocess_frame(frame, crop_size=224)
+    assert out.shape == (224, 224, 3)
+    np.testing.assert_allclose(out[..., 0], 120 - 104.0)
+    # auto-resize path
+    out2 = preprocess_frame(np.full((480, 640, 3), 120, np.uint8), crop_size=224)
+    assert out2.shape == (224, 224, 3)
+
+
+def test_online_recognizer_window_schedule():
+    S = 4
+    g = _tiny_video_model(S=S, crop=224)
+    prog = Program(g, train=False)
+    data = jnp.zeros((1, S, 224, 224, 3))
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    rec = OnlineRecognizer(prog, params, state, num_segments=S, crop_size=224)
+    frame = np.full((256, 340, 3), 99, np.uint8)
+    results = [rec.push_frame(frame) for _ in range(S * 3)]
+    # a prediction after every S frames, None otherwise
+    assert results[S - 1] is not None and results[S] is None
+    preds = [r for r in results if r is not None]
+    assert len(preds) == 3
+    label, smoothed = preds[-1]
+    assert 0 <= label < 4 and smoothed.shape == (4,)
+    # running mean: stable input -> stable smoothed logits
+    np.testing.assert_allclose(preds[0][1], preds[2][1], rtol=1e-3, atol=1e-5)
+
+
+def test_multistream_recognizer_matches_single():
+    S = 4
+    g = _tiny_video_model(S=S, crop=224)
+    prog = Program(g, train=False)
+    data = jnp.zeros((1, S, 224, 224, 3))
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    multi = MultiStreamRecognizer(prog, params, state, num_streams=3,
+                                  num_segments=S)
+    single = OnlineRecognizer(prog, params, state, num_segments=S)
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (256, 340, 3), dtype=np.uint8) for _ in range(S)]
+    outs = None
+    for f in frames:
+        outs = multi.push_frames([f, f, f])
+        ref = single.push_frame(f)
+    assert all(o is not None for o in outs)
+    for o in outs:
+        assert o[0] == ref[0]
+        np.testing.assert_allclose(o[1], ref[1], rtol=1e-3, atol=1e-5)
+
+
+def test_trainer_solve_and_test(tmp_path):
+    b = NetBuilder("t")
+    x = b.input("data", (8, 6))
+    b.input("label", (8,))
+    y = b.fc("fc", x, 3)
+    b.layer("loss", "softmaxwithloss", (y, "label"))
+    b.layer("top1", "accuracy", (y, "label"), phase="test", top_k=1)
+    g = b.build()
+    train_prog = Program(g, train=True)
+    test_prog = Program(g, train=False)
+    cfg = SolverConfig(
+        base_lr=0.5, lr_policy="fixed", max_iter=30, iter_size=1,
+        display=10, snapshot=20, snapshot_prefix=str(tmp_path / "s"),
+        test_interval=10, test_iter=2, average_loss=5,
+    )
+    rng = np.random.default_rng(0)
+    W = rng.standard_normal((6, 3)).astype(np.float32)
+
+    def make_batch(n=8):
+        x = rng.standard_normal((n, 6)).astype(np.float32)
+        y = (x @ W).argmax(-1).astype(np.int32)
+        return x, y
+
+    def train_gen():
+        while True:
+            x, y = make_batch()
+            yield {"data": x[None], "label": y[None]}
+
+    def test_batches():
+        for _ in range(cfg.test_iter):
+            x, y = make_batch()
+            yield {"data": x, "label": y}
+
+    logs = []
+    trainer = Trainer(train_prog, cfg, test_program=test_prog,
+                      log_fn=logs.append)
+    ts = trainer.init_state({"data": np.zeros((8, 6), np.float32),
+                             "label": np.zeros((8,), np.int32)})
+    ts = trainer.solve(ts, train_gen(), test_iter_fn=test_batches)
+    assert int(ts.it) == 30
+    assert any("Iteration 10" in l for l in logs)
+    assert any(l.startswith("Test:") and "top1" in l for l in logs)
+    assert os.path.exists(str(tmp_path / "s") + "_iter_20.model.npz")
+    # learned something
+    metrics = trainer.test(ts, test_batches())
+    assert metrics["top1"] > 0.5
+    # polyak averaging over the two snapshots
+    p1 = str(tmp_path / "s") + "_iter_20.model.npz"
+    p2 = str(tmp_path / "s") + "_iter_30.model.npz"
+    out = str(tmp_path / "avg.model.npz")
+    polyak_average([p1, p2], out)
+    assert os.path.exists(out)
+
+
+def test_solver_config_from_prototxt():
+    cfg = solver_config_from_prototxt(
+        '''
+        net: "ECO_Lite.prototxt"
+        test_iter: 3000
+        test_interval: 1000
+        base_lr: 0.001
+        lr_policy: "step"
+        gamma: 0.1
+        stepsize: 24000
+        max_iter: 60000
+        iter_size: 3
+        momentum: 0.9
+        weight_decay: 0.0005
+        clip_gradients: 40
+        snapshot: 1000
+        snapshot_prefix: "snapshots/ECO_Lite_kinetics"
+        solver_mode: GPU
+        solver_type: NESTEROV
+        richness: 100
+        '''
+    )
+    assert cfg.base_lr == 0.001 and cfg.solver_type == "nesterov"
+    assert cfg.iter_size == 3 and cfg.clip_gradients == 40
+    assert cfg.stepsize == 24000 and cfg.snapshot == 1000
+
+
+def test_profiler_time_and_debug():
+    g = _tiny_video_model(S=2, crop=16)
+    prog = Program(g, train=False)
+    data = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 2, 16, 16, 3)), jnp.float32
+    )
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    rows = time_layers(prog, params, state, {"data": data}, iters=2, warmup=1)
+    assert [r[0] for r in rows][:2] == ["fold", "conv1"]
+    assert all(r[2] >= 0 for r in rows)
+    table = format_layer_times(rows)
+    assert "TOTAL" in table
+    info = debug_info(prog, params, state, {"data": data})
+    names = [r[0] for r in info]
+    assert "conv1_bn" in names and "probs" in names
+
+
+def test_cli_device_query_and_time(capsys):
+    from eco_tpu.tools.cli import main
+
+    main(["device-query"])
+    out = capsys.readouterr().out
+    assert "device 0" in out
+    main(["time", "--zoo", "eco_lite_ucf101", "--batch", "1",
+          "--segments", "4", "--iters", "1"])
+    out = capsys.readouterr().out
+    assert "conv1_7x7_s2" in out and "TOTAL" in out

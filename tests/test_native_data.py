@@ -1,0 +1,134 @@
+"""Native C++ data plane (libecodata) vs the Python pipeline."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from eco_tpu.data import TransformConfig, VideoDataConfig
+
+try:
+    from eco_tpu.data.native import NativeVideoPipeline, build_native
+
+    build_native()
+    HAVE_NATIVE = True
+except Exception as e:  # pragma: no cover
+    HAVE_NATIVE = False
+    REASON = str(e)
+
+pytestmark = pytest.mark.skipif(
+    not HAVE_NATIVE, reason="native toolchain unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def video_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("nvideos")
+    lines = []
+    for v in range(5):
+        d = root / f"vid{v}"
+        d.mkdir()
+        for f in range(32):
+            img = np.full((64, 80, 3), (v * 32 + f) % 251, np.uint8)
+            cv2.imwrite(str(d / ("img_%04d.jpg" % (f + 1))), img)
+        lines.append(f"{d} 32 {v % 3}")
+    lst = root / "list.txt"
+    lst.write_text("\n".join(lines) + "\n")
+    return str(lst)
+
+
+def _cfg(lst, **kw):
+    defaults = dict(
+        source=lst, batch_size=3, num_segments=4, shuffle=False,
+        transform=TransformConfig(
+            crop_size=48, multi_scale=False, mirror=False, fix_crop=False,
+            mean_values=(104.0, 117.0, 123.0),
+        ),
+    )
+    defaults.update(kw)
+    return VideoDataConfig(**defaults)
+
+
+def test_native_batch_shape_and_values(video_root):
+    pipe = NativeVideoPipeline(_cfg(video_root), train=False, seed=0)
+    try:
+        assert pipe.num_videos == 5
+        b = pipe.next_batch()
+        assert b["data"].shape == (3, 4, 48, 48, 3)
+        assert b["data"].dtype == np.float32
+        np.testing.assert_array_equal(b["label"], [0, 1, 2])
+        # test phase, constant frames: values are frame_value - mean exactly.
+        # video 0, segment 0 center offset = (8-1+1)/2 + 0 = 4 -> value 4
+        np.testing.assert_allclose(b["data"][0, 0, :, :, 0], 4 - 104.0)
+        # segment 1 center offset = 4 + 8 = 12 -> value 12
+        np.testing.assert_allclose(b["data"][0, 1, :, :, 1], 12 - 117.0)
+        # video 1 starts at frame value 32
+        np.testing.assert_allclose(b["data"][1, 0, :, :, 2], 32 + 4 - 123.0)
+    finally:
+        pipe.close()
+
+
+def test_native_matches_python_test_phase(video_root):
+    from eco_tpu.data import VideoPipeline
+
+    cfg = _cfg(video_root)
+    native = NativeVideoPipeline(cfg, train=False, seed=0)
+    py = VideoPipeline(cfg, train=False, seed=0, num_workers=1)
+    try:
+        nb = native.next_batch()
+        pb = py.next_batch()
+        # deterministic test path: identical bytes
+        np.testing.assert_array_equal(nb["label"], pb["label"])
+        np.testing.assert_allclose(nb["data"], pb["data"], atol=1e-5)
+    finally:
+        native.close()
+        py.close()
+
+
+def test_native_train_mode_augmentation(video_root):
+    cfg = _cfg(
+        video_root,
+        transform=TransformConfig(
+            crop_size=48, multi_scale=True, mirror=True, fix_crop=True,
+            more_fix_crop=True, mean_values=(104.0, 117.0, 123.0),
+        ),
+    )
+    pipe = NativeVideoPipeline(cfg, train=True, seed=0)
+    try:
+        b1 = pipe.next_batch()
+        b2 = pipe.next_batch()
+        assert b1["data"].shape == (3, 4, 48, 48, 3)
+        assert np.isfinite(b1["data"]).all()
+    finally:
+        pipe.close()
+
+
+def test_native_rank_sharding(video_root):
+    labels = {}
+    for rank in (0, 1):
+        cfg = _cfg(video_root, batch_size=2)
+        pipe = NativeVideoPipeline(cfg, train=False, rank=rank, world=2)
+        try:
+            labels[rank] = list(pipe.next_batch()["label"])
+        finally:
+            pipe.close()
+    assert labels[0] == [0, 1]
+    assert labels[1] == [2, 0]  # videos 2, 3 -> labels 2, 0
+
+
+def test_native_throughput_smoke(video_root):
+    import time
+
+    cfg = _cfg(video_root, batch_size=8)
+    pipe = NativeVideoPipeline(cfg, train=True, num_workers=8)
+    try:
+        pipe.next_batch()
+        t0 = time.perf_counter()
+        for _ in range(10):
+            pipe.next_batch()
+        dt = time.perf_counter() - t0
+        assert dt < 10.0  # 80 videos x 4 frames in <10s is a loose floor
+    finally:
+        pipe.close()
