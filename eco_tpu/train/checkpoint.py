@@ -44,7 +44,10 @@ def _unflatten(flat: Mapping[str, np.ndarray]) -> dict:
         node = tree
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1]] = jnp.asarray(v)
+        # keep host-side numpy: devices see the data on first use, and
+        # host-side tools (fold_bn, polyak, converters) avoid device
+        # round-trips entirely
+        node[parts[-1]] = v
     return tree
 
 

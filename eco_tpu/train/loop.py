@@ -158,6 +158,11 @@ class Trainer:
         return means
 
     def _snapshot(self, ts: TrainState):
+        # multi-host: only process 0 writes (rank-0 snapshot + barrier
+        # semantics of the reference, solver.cpp:523-546); other processes
+        # hold identical replicated state so no barrier is needed here.
+        if jax.process_index() != 0:
+            return
         mp, sp = snapshot(self.cfg.snapshot_prefix, ts, int(ts.it))
         self.log(f"Snapshotting to {mp}")
 
