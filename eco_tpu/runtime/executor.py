@@ -347,6 +347,13 @@ class _Silence(LayerImpl):
         return [], None
 
 
+class _Identity(LayerImpl):
+    """Pass-through (layout peepholes lower no-op reshapes to this)."""
+
+    def apply(self, spec, params, state, inputs, ctx):
+        return [inputs[0]], None
+
+
 class _Gather(LayerImpl):
     """Model-parallel section entry (reference gather_layer.cpp): allgather
     activations along the batch so downstream layers run replicated.
@@ -411,6 +418,7 @@ IMPLS: dict[str, LayerImpl] = {
     "silence": _Silence(),
     "gather": _Gather(),
     "scatter": _Scatter(),
+    "identity": _Identity(),
 }
 
 

@@ -285,6 +285,20 @@ def _peephole(layers: list[LayerSpec], data_tops: set[str]) -> list[LayerSpec]:
                 )
                 i += 1
                 continue
+            # length_first dense-clip view: logical (N, C*L, H, W) ->
+            # (N, C, L, H, W) is already our physical (N, L, H, W, C)
+            # (112_c3d_resnet_18_train_val.prototxt:63-68)
+            if (
+                len(dims) == 5
+                and dims[0] == -1
+                and l.bottoms
+                and l.bottoms[0] in data_tops
+            ):
+                out.append(
+                    LayerSpec(l.name, "identity", l.bottoms, l.tops, {}, l.phase)
+                )
+                i += 1
+                continue
         out.append(l)
         i += 1
     return out

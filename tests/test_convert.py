@@ -264,3 +264,44 @@ def test_fold_bn_preserves_outputs_and_guards_residuals():
     fprog = Program(fg, train=False)
     out = fprog.apply(fp, fs, {"data": data})[0]["fc"]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_import_bn_inception_deploy():
+    # the 2D init model used by run.sh transfer init (232 layers)
+    path = (
+        f"{REF}/models_ECO_Lite/kinetics/bn_inception_kinetics_rgb_pretrained/"
+        "bn_inception_rgb_deploy.prototxt"
+    )
+    g = graph_from_prototxt(open(path).read())
+    prog = Program(g, train=False)
+    data = jnp.zeros(g.inputs["data"], jnp.float32)
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    assert "inception_5b_pool_proj" in params
+    outs, _ = prog.apply(params, state, {"data": data})
+    (final,) = [v for v in outs.values()]
+    assert final.shape[0] == data.shape[0]
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_import_c3d_resnet18_trainval():
+    # the 3D init model: dense 16-frame clip, length_first layout
+    path = (
+        f"{REF}/models_ECO_Lite/kinetics/112_c3d_resnet18_kinetics_rgb_pretrained/"
+        "112_c3d_resnet_18_train_val.prototxt"
+    )
+    g = graph_from_prototxt(open(path).read())
+    # the 5D data reshape lowered to identity (layout-native)
+    kinds = {l.name: l.type for l in g.layers}
+    assert kinds["data_reshape"] == "identity"
+    prog = Program(g, train=True)
+    data = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 16, 112, 112, 3)),
+        jnp.float32,
+    )
+    label = jnp.asarray([1, 2])
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data, "label": label})
+    assert params["conv1_s"]["w"].shape[-2] == 3 if "conv1_s" in params else True
+    outs, _ = prog.apply(params, state, {"data": data, "label": label},
+                         rng=jax.random.PRNGKey(1))
+    assert np.isfinite(float(outs["loss"]))
