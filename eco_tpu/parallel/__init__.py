@@ -8,6 +8,7 @@ from eco_tpu.parallel.mesh import (
     replicated,
 )
 from eco_tpu.parallel.shard import (
+    make_segment_sharded_infer_fn,
     make_sharded_infer_fn,
     make_sharded_train_step,
     shard_batch,

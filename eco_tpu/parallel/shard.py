@@ -56,6 +56,32 @@ def make_sharded_train_step(program, cfg: SolverConfig, mesh: Mesh):
     return sharded_step
 
 
+def make_segment_sharded_infer_fn(program, mesh: Mesh, *, output: str = "probs"):
+    """Inference with BOTH the video and segment axes sharded.
+
+    The long-sequence play (SURVEY.md section 5): for few videos with many
+    segments, the 2D trunk's fused (video x segment) batch axis is sharded
+    over ``data`` x ``segment``, and the 3D head's temporal convolutions run
+    spatially partitioned over the ``segment`` axis -- GSPMD inserts the
+    halo exchanges over ICI that the reference's Gather sections emulated by
+    full allgathers (gather_layer.cpp).
+    """
+    from eco_tpu.parallel.mesh import SEGMENT_AXIS
+
+    in_sh = NamedSharding(mesh, P(DATA_AXIS, SEGMENT_AXIS))
+    rep = replicated(mesh)
+
+    @jax.jit
+    def infer(params, state, data):
+        data = jax.lax.with_sharding_constraint(data, in_sh)
+        outs, _ = program.apply(params, state, {"data": data})
+        return jax.lax.with_sharding_constraint(
+            outs[output], NamedSharding(mesh, P(DATA_AXIS))
+        )
+
+    return infer
+
+
 def make_sharded_infer_fn(program, mesh: Mesh, *, output: str = "probs"):
     """Batched multi-video inference with videos sharded over the mesh."""
     data_sh = NamedSharding(mesh, P(DATA_AXIS))

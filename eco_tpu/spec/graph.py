@@ -64,11 +64,12 @@ class GraphSpec:
     name: str
     inputs: dict[str, tuple[int, ...]] = field(default_factory=dict)
     layers: list[LayerSpec] = field(default_factory=list)
+    options: dict = field(default_factory=dict)  # net-level (mem_param, ...)
 
     def filtered(self, phase: str) -> "GraphSpec":
         """Keep layers whose phase rule includes ``phase`` (net.cpp:318-407)."""
         keep = [l for l in self.layers if l.phase in (None, phase)]
-        return GraphSpec(self.name, dict(self.inputs), keep)
+        return GraphSpec(self.name, dict(self.inputs), keep, dict(self.options))
 
     def layer(self, name: str) -> LayerSpec:
         for l in self.layers:

@@ -323,6 +323,8 @@ def graph_from_prototxt(text: str, *, name: str = None) -> GraphSpec:
                 # channels-last
                 shape = (shape[0],) + shape[2:] + (shape[1],)
             graph.inputs[inp] = shape
+    if "mem_param" in net:
+        graph.options["mem_param"] = dict(net["mem_param"])
     raw = [_lower_layer(l) for l in _as_list(net.get("layer"))]
     data_tops = {
         t for l in raw if l.type in ("videodata", "imagedata", "data") for t in l.tops

@@ -108,15 +108,25 @@ def init_train_state(params, state) -> TrainState:
     return TrainState(params, state, history, jnp.zeros((), jnp.int32))
 
 
-def make_train_step(program, cfg: SolverConfig):
+def make_train_step(program, cfg: SolverConfig, *, remat: Optional[str] = None):
     """Returns ``step(ts, batch, rng) -> (ts, metrics)``.
 
     ``batch`` values must carry a leading micro-batch axis of length
     ``cfg.iter_size`` (use ``iter_size=1`` batches of shape [1, ...] if no
     accumulation).  The function is pure -- jit/pjit it at the call site.
+    ``remat``: rematerialization policy (eco_tpu.runtime.memory) -- the
+    ``mem_param`` activation-memory-optimizer equivalent.
     """
+    if remat is not None:
+        from eco_tpu.runtime.memory import apply_with_remat
+
+        apply_fn = apply_with_remat(program, remat)
+    else:
+        def apply_fn(p, s, m, rng=None):
+            return program.apply(p, s, m, rng=rng)
+
     def loss_fn(params, state, micro, rng):
-        outs, new_state = program.apply(params, state, micro, rng=rng)
+        outs, new_state = apply_fn(params, state, micro, rng=rng)
         return program.total_loss(outs), (new_state, outs)
 
     grad_fn = jax.grad(loss_fn, has_aux=True)

@@ -122,3 +122,63 @@ def test_eco_lite_multichip_dryrun():
     ts, metrics = step(ts, shard_batch(mesh, batch, batch_axis=1), jax.random.PRNGKey(3))
     assert np.isfinite(float(metrics["loss"]))
     assert int(ts.it) == 1
+
+
+def test_segment_sharded_inference_matches_local():
+    from eco_tpu.parallel import make_segment_sharded_infer_fn
+
+    g = _small_video_graph(with_loss=False)
+    prog = Program(g, train=False)
+    rng = np.random.default_rng(3)
+    data = jnp.asarray(rng.standard_normal((2, 4, 16, 16, 3)), jnp.float32)
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    local = prog.apply(params, state, {"data": data})[0]["probs"]
+    mesh = make_mesh({"data": 2, "segment": 4})
+    infer = make_segment_sharded_infer_fn(prog, mesh)
+    out = infer(params, state, jax.device_put(data))
+    np.testing.assert_allclose(np.asarray(local), np.asarray(out), rtol=1e-4, atol=1e-6)
+
+
+def test_remat_train_step_matches_plain():
+    from eco_tpu.train import make_train_step
+
+    g = _small_video_graph(with_loss=True)
+    prog = Program(g, train=True)
+    rng = np.random.default_rng(4)
+    batch = {
+        "data": jnp.asarray(rng.standard_normal((1, 8, 4, 16, 16, 3)), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 5, (1, 8))),
+    }
+    params, state = prog.init(jax.random.PRNGKey(0), jax.tree.map(lambda x: x[0], batch))
+    cfg = SolverConfig(base_lr=0.1, lr_policy="fixed", iter_size=1)
+    ts1, m1 = jax.jit(make_train_step(prog, cfg))(
+        init_train_state(params, state), batch, jax.random.PRNGKey(5)
+    )
+    ts2, m2 = jax.jit(make_train_step(prog, cfg, remat="dots"))(
+        init_train_state(params, state), batch, jax.random.PRNGKey(5)
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ts1.params["fc"]["w"]), np.asarray(ts2.params["fc"]["w"]),
+        rtol=1e-4, atol=1e-6,
+    )
+    # 'nothing' policy too (max remat)
+    ts3, m3 = jax.jit(make_train_step(prog, cfg, remat="nothing"))(
+        init_train_state(params, state), batch, jax.random.PRNGKey(5)
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m3["loss"]), rtol=1e-5)
+
+
+def test_mem_param_maps_to_remat_policy():
+    from eco_tpu.runtime.memory import remat_policy_from_graph
+    from eco_tpu.spec.prototxt import graph_from_prototxt
+
+    g = graph_from_prototxt(
+        'name: "x"\nmem_param { optimize_train: true }\n'
+        'input: "data"\ninput_dim: 1\ninput_dim: 3\ninput_dim: 8\ninput_dim: 8\n'
+    )
+    assert remat_policy_from_graph(g) == "dots"
+    g2 = graph_from_prototxt(
+        'name: "y"\ninput: "data"\ninput_dim: 1\ninput_dim: 3\ninput_dim: 8\ninput_dim: 8\n'
+    )
+    assert remat_policy_from_graph(g2) is None
