@@ -21,15 +21,19 @@ BASELINE_VIDEOS_PER_SEC = 230.0
 
 
 def bench(batch: int = 64, num_segments: int = 16, iters: int = 10, warmup: int = 2):
+    from eco_tpu.convert import optimize_for_inference
+
     graph = get_model("eco_lite_kinetics", num_segments=num_segments, batch=batch)
-    prog = Program(graph, train=False, compute_dtype=jnp.bfloat16)
+    prog0 = Program(graph, train=False)
     data = jnp.asarray(
         np.random.default_rng(0).standard_normal(
             (batch, num_segments, 224, 224, 3), dtype=np.float32
         ),
         dtype=jnp.bfloat16,
     )
-    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    params, state = prog0.init(jax.random.PRNGKey(0), {"data": data})
+    graph, params, state = optimize_for_inference(graph, params, state)
+    prog = Program(graph, train=False, compute_dtype=jnp.bfloat16)
 
     @jax.jit
     def fwd(params, state, data):
