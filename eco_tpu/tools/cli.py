@@ -230,6 +230,18 @@ def cmd_fold(args):
     print(f"Folded model -> {args.output} ({len(fg.layers)} layers)")
 
 
+def cmd_draw(args):
+    from eco_tpu.tools.draw import to_dot
+
+    graph = _build_graph(args, with_loss=False)
+    dot = to_dot(graph)
+    if args.output:
+        open(args.output, "w").write(dot)
+        print(f"wrote {args.output}")
+    else:
+        print(dot)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="eco")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -276,6 +288,11 @@ def main(argv=None):
     sp.add_argument("--weights", required=True)
     sp.add_argument("-o", "--output", required=True)
     sp.set_defaults(fn=cmd_fold)
+
+    sp = sub.add_parser("draw")
+    common(sp)
+    sp.add_argument("-o", "--output", default=None)
+    sp.set_defaults(fn=cmd_draw)
 
     args = p.parse_args(argv)
     return args.fn(args)

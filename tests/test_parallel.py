@@ -182,3 +182,30 @@ def test_mem_param_maps_to_remat_policy():
         'name: "y"\ninput: "data"\ninput_dim: 1\ninput_dim: 3\ninput_dim: 8\ninput_dim: 8\n'
     )
     assert remat_policy_from_graph(g2) is None
+
+
+def test_gather_scatter_section_layers():
+    # Model-parallel "gather section" (reference gather/scatter_layer.cpp):
+    # run the FC replicated between Gather and Scatter markers.
+    b = NetBuilder("gsec")
+    x = b.input("data", (8, 6))
+    x = b.fc("fc_in", x, 8)
+    x = b.layer("gather1", "gather", x)
+    x = b.fc("fc_mid", x, 8)
+    x = b.layer("scatter1", "scatter", x)
+    y = b.fc("fc_out", x, 4)
+    b.layer("probs", "softmax", y)
+    g = b.build()
+    prog = Program(g, train=False)
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.standard_normal((8, 6)), jnp.float32)
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    local = prog.apply(params, state, {"data": data})[0]["probs"]
+    mesh = make_mesh()
+    with mesh:
+        out = jax.jit(lambda p, s, d: prog.apply(p, s, {"data": d})[0]["probs"])(
+            params, state, jax.device_put(
+                data, jax.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+            )
+        )
+    np.testing.assert_allclose(np.asarray(local), np.asarray(out), rtol=1e-5, atol=1e-6)
