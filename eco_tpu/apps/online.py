@@ -151,7 +151,12 @@ class MultiStreamRecognizer:
                 ready.append(s)
         if not ready:
             return [None] * self.n
-        batch = np.stack([self.single._assemble(s) for s in ready])
+        # Pad to a FIXED batch of num_streams so XLA compiles the forward
+        # exactly once regardless of how many streams tick this step.
+        clips = [self.single._assemble(s) for s in ready]
+        while len(clips) < self.n:
+            clips.append(np.zeros_like(clips[0]))
+        batch = np.stack(clips)
         logits = np.asarray(
             self.single._fwd(
                 self.single.params, self.single.state, jnp.asarray(batch)

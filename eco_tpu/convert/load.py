@@ -26,10 +26,19 @@ from eco_tpu.ops.norm import DEFAULT_EPS
 from eco_tpu.spec.graph import GraphSpec, LayerSpec
 
 
-def convert_conv_weight(w: np.ndarray) -> np.ndarray:
-    """(out, in/g, k...) -> (k..., in/g, out)."""
+def convert_conv_weight(w: np.ndarray, *, transposed: bool = False) -> np.ndarray:
+    """Convolution: (out, in/g, k...) -> (k..., in/g, out).
+
+    Deconvolution blobs are stored (in, out/g, k...) in Caffe
+    (deconv_layer swaps the channel roles), and our deconv op expects
+    (k..., in, out) -- same permutation, different meaning of the first
+    two axes; ``transposed`` only documents the distinction.
+    """
     nsp = w.ndim - 2
-    perm = tuple(range(2, 2 + nsp)) + (1, 0)
+    if transposed:
+        perm = tuple(range(2, 2 + nsp)) + (0, 1)
+    else:
+        perm = tuple(range(2, 2 + nsp)) + (1, 0)
     return np.ascontiguousarray(np.transpose(w, perm))
 
 
@@ -64,7 +73,9 @@ def import_caffe_weights(
             except KeyError:
                 spec_type = entry["type"].lower()
             if spec_type in ("convolution", "deconvolution"):
-                w = convert_conv_weight(blobs[0])
+                w = convert_conv_weight(
+                    blobs[0], transposed=spec_type == "deconvolution"
+                )
                 _assign(new_params, lname, "w", w, strict)
                 if len(blobs) > 1:
                     _assign(new_params, lname, "b", blobs[1].reshape(-1), strict)

@@ -75,6 +75,23 @@ class NativeVideoPipeline:
                  world: int = 1, num_workers: int = 8):
         lib = _load()
         t = cfg.transform
+        # The C ABI covers the RGB/step-1 path only; refuse configs it
+        # cannot honor instead of silently decoding the wrong data.
+        if cfg.modality.upper() != "RGB":
+            raise NotImplementedError(
+                "NativeVideoPipeline supports RGB only; use VideoPipeline "
+                "for FLOW"
+            )
+        if cfg.step != 1 or cfg.rand_step:
+            raise NotImplementedError(
+                "NativeVideoPipeline does not support step/rand_step; use "
+                "VideoPipeline"
+            )
+        if t.scale != 1.0 or tuple(t.scale_ratios) != (1.0, 0.875, 0.75, 0.66):
+            raise NotImplementedError(
+                "NativeVideoPipeline supports the default scale/scale_ratios "
+                "only; use VideoPipeline"
+            )
         self.cfg = cfg
         self._lib = lib
         self._handle = lib.eco_loader_create(

@@ -74,6 +74,7 @@ class VideoPipeline:
             self._shuffle()
         # MPI-style cursor sharding
         self._cursor = rank * cfg.batch_size
+        self._error: Optional[Exception] = None
         self._pool = ThreadPoolExecutor(max_workers=num_workers)
         self._queue: queue.Queue = queue.Queue(maxsize=prefetch_depth)
         self._stop = threading.Event()
@@ -114,25 +115,33 @@ class VideoPipeline:
         return transform_stack(stack, cfg.transform, train=self.train, rng=rng)
 
     def _make_batch(self):
+        """Assemble one batch, SKIPPING unreadable videos like the reference
+        (video_data_layer.cpp:195-216) so data and labels always correspond."""
         cfg = self.cfg
-        items, labels = [], []
-        while len(items) < cfg.batch_size:
-            rec = self.records[self._cursor % len(self.records)]
-            self._advance(1)
-            rng = np.random.default_rng(self._frame_rng.integers(0, 2**63))
-            try:
-                fut = self._pool.submit(self._load_one, rec, rng)
-                items.append(fut)
-                labels.append(rec.label)
-            except RuntimeError:
-                return None
-        arrs = []
-        for i, fut in enumerate(items):
-            try:
-                arrs.append(fut.result())
-            except FileNotFoundError:
-                # unreadable video: reference skips it; substitute previous
-                arrs.append(arrs[-1] if arrs else np.zeros_like(items[0].result()))
+        arrs, labels = [], []
+        attempts = 0
+        max_attempts = cfg.batch_size + len(self.records)
+        while len(arrs) < cfg.batch_size and attempts < max_attempts:
+            # submit a wave of candidates to keep workers busy
+            need = cfg.batch_size - len(arrs)
+            wave = []
+            for _ in range(need):
+                rec = self.records[self._cursor % len(self.records)]
+                self._advance(1)
+                rng = np.random.default_rng(self._frame_rng.integers(0, 2**63))
+                wave.append((rec, self._pool.submit(self._load_one, rec, rng)))
+                attempts += 1
+            for rec, fut in wave:
+                try:
+                    arrs.append(fut.result())
+                    labels.append(rec.label)
+                except Exception:
+                    continue  # skip the video, keep data/label aligned
+        if len(arrs) < cfg.batch_size:
+            raise RuntimeError(
+                f"could not assemble a batch of {cfg.batch_size}: too many "
+                f"unreadable videos in {cfg.source!r}"
+            )
         # per-batch cursor skip for the other ranks
         self._advance((self.world - 1) * cfg.batch_size)
         return {
@@ -142,8 +151,16 @@ class VideoPipeline:
 
     def _producer(self):
         while not self._stop.is_set():
-            batch = self._make_batch()
-            if batch is None:
+            try:
+                batch = self._make_batch()
+            except RuntimeError as e:
+                self._error = e
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(e, timeout=0.25)  # wake the consumer
+                        break
+                    except queue.Full:
+                        continue
                 return
             while not self._stop.is_set():
                 try:
@@ -155,7 +172,10 @@ class VideoPipeline:
     # -- public ---------------------------------------------------------------
 
     def next_batch(self):
-        return self._queue.get()
+        item = self._queue.get()
+        if isinstance(item, Exception):
+            raise item
+        return item
 
     def __iter__(self) -> Iterator:
         while True:

@@ -56,16 +56,27 @@ def conv_nd(
     dn = lax.conv_dimension_numbers(x.shape, w.shape, _DIMNUMS[num_spatial])
     padding = [(p, p) for p in pad]
     if transposed:
-        # Deconvolution (reference deconv_layer.cpp): conv_transpose with the
-        # same per-axis geometry.
-        y = lax.conv_transpose(
+        # Deconvolution with exact Caffe/torch ConvTranspose semantics
+        # (output = s*(in-1) + k_ext - 2p): a fractionally-strided conv of
+        # the lhs-dilated input with the spatially-flipped kernel and
+        # padding k_ext-1-p per side.  ``w`` is (*k, C_in, C_out) where
+        # C_in = the deconv's input channels.
+        if groups != 1:
+            raise NotImplementedError("grouped deconvolution")
+        w_rev = jnp.flip(w, axis=tuple(range(num_spatial)))
+        pad_t = [
+            (dilation[i] * (w.shape[i] - 1) - pad[i],) * 2
+            for i in range(num_spatial)
+        ]
+        y = lax.conv_general_dilated(
             x,
-            w,
-            strides=stride,
-            padding=padding,
+            w_rev,
+            window_strides=(1,) * num_spatial,
+            padding=pad_t,
+            lhs_dilation=stride,
             rhs_dilation=dilation,
             dimension_numbers=dn,
-            precision=lax.Precision.DEFAULT,
+            preferred_element_type=accum_dtype,
         )
     else:
         y = lax.conv_general_dilated(

@@ -62,14 +62,27 @@ def eltwise(
             out = term if out is None else out + term
         return out
     if op == "stochastic_sum":
+        # Reference eltwise_layer.cpp:101-116: TRAIN includes each bottom
+        # independently with probability coeff[i] (coeff default 1.0);
+        # TEST is the coeff-weighted sum.
         n = len(inputs)
+        if coeffs is None:
+            coeffs = (1.0,) * n
         if train:
             if rng is None:
                 raise ValueError("stochastic_sum(train=True) needs an rng key")
-            idx = jax.random.randint(rng, (), 0, n)
-            stacked = jnp.stack(inputs)
-            return stacked[idx]
-        return sum(inputs) / float(n)
+            u = jax.random.uniform(rng, (n,))
+            gates = (u <= jnp.asarray(coeffs)).astype(inputs[0].dtype)
+            out = None
+            for i, t in enumerate(inputs):
+                term = gates[i] * t
+                out = term if out is None else out + term
+            return out
+        out = None
+        for c, t in zip(coeffs, inputs):
+            term = t if c == 1.0 else c * t
+            out = term if out is None else out + term
+        return out
     raise ValueError(f"unknown eltwise op {op!r}")
 
 

@@ -338,6 +338,8 @@ class _Slice(LayerImpl):
         if points is None:
             step = x.shape[axis] // n_out
             points = [step * i for i in range(1, n_out)]
+        elif isinstance(points, (int, float)):
+            points = [int(points)]  # single slice_point parses as a scalar
         pieces = jnp.split(x, list(points), axis=axis)
         return [ops.to_physical(p) for p in pieces], None
 

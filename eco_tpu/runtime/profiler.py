@@ -25,6 +25,8 @@ from eco_tpu.runtime.executor import Context, get_impl
 
 def _run_collect(program, params, state, inputs, *, rng=None):
     """Eager forward capturing every blob value."""
+    if rng is None and program.train:
+        rng = jax.random.PRNGKey(0)  # dropout etc. need a key in train mode
     ctx = Context(train=program.train, rng=rng, compute_dtype=program.compute_dtype)
     blobs = dict(inputs)
     for k, v in list(blobs.items()):
@@ -60,6 +62,8 @@ def time_layers(
     rng=None,
 ):
     """Returns [(layer_name, type, ms_per_iter)] + total; prints nothing."""
+    if rng is None and program.train:
+        rng = jax.random.PRNGKey(0)
     blobs = _run_collect(program, params, state, inputs, rng=rng)
     ctx = Context(train=program.train, rng=rng, compute_dtype=program.compute_dtype)
     rows = []

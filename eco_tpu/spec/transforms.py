@@ -43,16 +43,24 @@ def merge_sibling_1x1_convs(graph: GraphSpec, params: Mapping, state: Mapping):
                 consumers.setdefault(b, []).append(l)
 
     def chain_of(conv: LayerSpec):
-        """conv -> bn (sole consumer) -> in-place relu; returns (bn, relu)."""
+        """conv -> bn (sole consumer) -> in-place relu; returns (bn, relu).
+
+        The in-place ReLU (top == bottom == bn top) is intentionally absent
+        from the consumers map, so it is located by a direct scan.
+        """
         cons = consumers.get(conv.tops[0], [])
         if len(cons) != 1 or cons[0].type != "bn":
             return None
         bn = cons[0]
-        bcons = consumers.get(bn.tops[0], [])
-        relus = [c for c in bcons if c.type == "relu" and c.tops == bn.tops]
+        relus = [
+            l for l in layers
+            if l.type == "relu" and l.bottoms == bn.tops and l.tops == bn.tops
+        ]
         return bn, (relus[0] if relus else None)
 
-    # group sibling 1x1 convs
+    # group sibling 1x1 convs; every member must carry the SAME epilogue
+    # (conv -> BN -> in-place ReLU) or the merged in-place ReLU would
+    # rectify a branch that should stay linear.
     groups: dict = {}
     for l in layers:
         if l.type != "convolution":
@@ -60,7 +68,8 @@ def merge_sibling_1x1_convs(graph: GraphSpec, params: Mapping, state: Mapping):
         k = np.atleast_1d(l.opt("kernel_size", 1))
         if not np.all(k == 1):
             continue
-        if chain_of(l) is None:
+        chain = chain_of(l)
+        if chain is None or chain[1] is None:
             continue
         groups.setdefault(_conv_key(l), []).append(l)
 

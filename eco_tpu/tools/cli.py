@@ -39,8 +39,9 @@ def _build_graph(args, *, with_loss: bool):
     raise SystemExit("need --zoo or --net")
 
 
-def _data_cfg_from_graph(graph, phase: str, list_override=None):
-    """Build a VideoDataConfig from the graph's VideoData layer (if any)."""
+def _data_cfg_from_graph(graph, phase: str, list_override=None, args=None):
+    """VideoDataConfig from the graph's VideoData layer, or a default config
+    built from CLI args when the graph has none (--zoo graphs)."""
     from eco_tpu.data import TransformConfig, VideoDataConfig
 
     for l in graph.layers:
@@ -75,6 +76,21 @@ def _data_cfg_from_graph(graph, phase: str, list_override=None):
                 rand_step=bool(l.opt("rand_step", False)),
                 transform=tc,
             )
+    if list_override and args is not None:
+        # --zoo path: standard ECO defaults (224 crop, BGR means)
+        return VideoDataConfig(
+            source=list_override,
+            batch_size=args.batch,
+            num_segments=args.segments,
+            shuffle=phase == "train",
+            transform=TransformConfig(
+                crop_size=224,
+                mirror=phase == "train",
+                fix_crop=phase == "train",
+                more_fix_crop=phase == "train",
+                multi_scale=phase == "train",
+            ),
+        )
     return None
 
 
@@ -122,9 +138,12 @@ def cmd_train(args):
     train_prog = Program(graph, train=True)
     test_prog = Program(graph, train=False)
 
-    dcfg = _data_cfg_from_graph(graph, "train", args.list)
+    dcfg = _data_cfg_from_graph(graph, "train", args.list, args)
     if dcfg is None:
-        raise SystemExit("graph has no VideoData layer; use the python API")
+        raise SystemExit(
+            "graph has no VideoData layer and no --list given; "
+            "pass --list train.txt or use the python API"
+        )
     pipe = VideoPipeline(dcfg, train=True, seed=cfg.random_seed)
 
     def micro_batches():
@@ -176,7 +195,11 @@ def cmd_test(args):
 
     graph = _build_graph(args, with_loss=True)
     prog = Program(graph, train=False)
-    dcfg = _data_cfg_from_graph(graph, "test", args.list)
+    dcfg = _data_cfg_from_graph(graph, "test", args.list, args)
+    if dcfg is None:
+        raise SystemExit(
+            "graph has no VideoData layer and no --list given; pass --list"
+        )
     pipe = VideoPipeline(dcfg, train=False, seed=0)
     params, state = load_model(args.weights)
     from eco_tpu.train.solver import init_train_state

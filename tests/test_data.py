@@ -183,3 +183,44 @@ def test_streaming_allocation_schedule():
     assert streaming_allocation(9) == [1, 1, 2, 4, 8]
     frames = list(range(16))
     assert subsample_window(frames, 4) == [0, 5, 10, 15]
+
+
+def test_pipeline_skips_unreadable_video(video_root, tmp_path):
+    # A video with a missing first frame must be SKIPPED (data/label stay
+    # aligned) instead of substituting another video's frames.
+    root, lst = video_root
+    bad = tmp_path / "bad"
+    bad.mkdir()  # empty dir: no frames at all
+    lines = open(lst).read().splitlines()
+    mixed = tmp_path / "mixed.txt"
+    # bad video first, then the real ones with distinct labels
+    mixed.write_text(f"{bad} 40 2\n" + "\n".join(lines[:3]) + "\n")
+    cfg = VideoDataConfig(
+        source=str(mixed), batch_size=3, num_segments=2, shuffle=False,
+        transform=TransformConfig(crop_size=48, multi_scale=False, mirror=False),
+    )
+    pipe = VideoPipeline(cfg, train=False, num_workers=2)
+    try:
+        b = pipe.next_batch()
+        # labels are the three good videos' labels (0,1,2), not the bad one's
+        assert list(b["label"]) == [0, 1, 2]
+        assert b["data"].shape == (3, 2, 48, 48, 3)
+    finally:
+        pipe.close()
+
+
+def test_pipeline_raises_when_all_videos_unreadable(tmp_path):
+    bad = tmp_path / "allbad"
+    bad.mkdir()
+    lst = tmp_path / "bad.txt"
+    lst.write_text(f"{bad} 10 0\n")
+    cfg = VideoDataConfig(
+        source=str(lst), batch_size=2, num_segments=2, shuffle=False,
+        transform=TransformConfig(crop_size=8, multi_scale=False, mirror=False),
+    )
+    pipe = VideoPipeline(cfg, train=False, num_workers=1)
+    try:
+        with pytest.raises(RuntimeError, match="unreadable"):
+            pipe.next_batch()
+    finally:
+        pipe.close()

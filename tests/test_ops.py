@@ -232,11 +232,21 @@ def test_eltwise_modes():
     np.testing.assert_allclose(
         _np(ops.eltwise([a, b], "sum", coeffs=[2.0, -1.0])), 2 * _np(a) - _np(b)
     )
+    # STOCHASTIC_SUM at TEST = coeff-weighted sum (eltwise_layer.cpp:112-116)
     np.testing.assert_allclose(
         _np(ops.eltwise([a, b], "stochastic_sum", train=False)),
-        (_np(a) + _np(b)) / 2,
+        _np(a) + _np(b),
         rtol=1e-6,
     )
+    np.testing.assert_allclose(
+        _np(ops.eltwise([a, b], "stochastic_sum", coeffs=[0.5, 2.0], train=False)),
+        0.5 * _np(a) + 2.0 * _np(b),
+        rtol=1e-6,
+    )
+    # TRAIN: each bottom gated independently with prob coeff[i]
+    got = _np(ops.eltwise([a, b], "stochastic_sum", coeffs=[1.0, 0.0],
+                          train=True, rng=jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(got, _np(a), rtol=1e-6)
 
 
 def test_softmax_loss_and_accuracy():
@@ -307,3 +317,18 @@ def test_conv_gradcheck_against_numeric():
         wm = w.at[idx].add(-eps)
         num = (f(wp) - f(wm)) / (2 * eps)
         np.testing.assert_allclose(float(g[idx]), float(num), rtol=2e-2, atol=1e-4)
+
+
+def test_deconv_matches_torch():
+    # Caffe/torch ConvTranspose semantics: out = s*(in-1) + k - 2p
+    x = RNG.standard_normal((2, 7, 7, 6), dtype=np.float32)
+    w = RNG.standard_normal((4, 4, 6, 8), dtype=np.float32) * 0.1  # (k,k,Cin,Cout)
+    y = ops.conv_nd(jnp.asarray(x), jnp.asarray(w), stride=2, pad=1,
+                    transposed=True)
+    ref = F.conv_transpose2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        torch.from_numpy(w).permute(2, 3, 0, 1),  # (Cin, Cout, k, k)
+        stride=2, padding=1,
+    ).permute(0, 2, 3, 1).numpy()
+    assert y.shape == ref.shape == (2, 14, 14, 8)
+    np.testing.assert_allclose(_np(y), ref, rtol=3e-4, atol=3e-4)
