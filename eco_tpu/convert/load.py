@@ -95,6 +95,15 @@ def import_caffe_weights(
                 _assign(new_params, lname, "scale", blobs[0].reshape(-1), strict)
                 if len(blobs) > 1:
                     _assign(new_params, lname, "shift", blobs[1].reshape(-1), strict)
+            elif spec_type == "batchnorm":
+                # new-style BatchNorm: mean, var, scale_factor (the stats are
+                # divided by scale_factor on use, batch_norm_layer.cpp)
+                factor = float(blobs[2].reshape(-1)[0]) if len(blobs) > 2 else 1.0
+                factor = 1.0 / factor if factor != 0 else 0.0
+                _assign(new_state, lname, "mean", blobs[0].reshape(-1) * factor,
+                        strict, state_tree=True)
+                _assign(new_state, lname, "var", blobs[1].reshape(-1) * factor,
+                        strict, state_tree=True)
             else:
                 skipped.append(lname)
                 continue

@@ -89,3 +89,19 @@ def eltwise(
 def concat_channels(inputs: Sequence[jax.Array]):
     """Caffe Concat(axis=1) == channels-last concat on the final axis."""
     return jnp.concatenate(list(inputs), axis=-1)
+
+
+def lrn(x, *, local_size: int = 5, alpha: float = 1.0, beta: float = 0.75,
+        k: float = 1.0):
+    """Local response normalization ACROSS_CHANNELS (lrn_layer.cpp):
+    y = x / (k + alpha/n * sum_{local window} x^2)^beta, channels-last."""
+    sq = jnp.square(x.astype(jnp.float32))
+    half = local_size // 2
+    # sum over a sliding channel window via padding + cumulative trick
+    padded = jnp.pad(sq, [(0, 0)] * (x.ndim - 1) + [(half, half)])
+    csum = jnp.cumsum(padded, axis=-1)
+    zeros = jnp.zeros_like(csum[..., :1])
+    csum = jnp.concatenate([zeros, csum], axis=-1)
+    window = csum[..., local_size:] - csum[..., :-local_size]
+    scale = jnp.power(k + (alpha / local_size) * window, beta)
+    return (x.astype(jnp.float32) / scale).astype(x.dtype)

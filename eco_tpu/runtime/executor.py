@@ -356,6 +356,89 @@ class _Identity(LayerImpl):
         return [inputs[0]], None
 
 
+class _Sigmoid(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        return [jax.nn.sigmoid(inputs[0])], None
+
+
+class _TanH(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        return [jnp.tanh(inputs[0])], None
+
+
+class _AbsVal(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        return [jnp.abs(inputs[0])], None
+
+
+class _Exp(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        base = spec.opt("base", -1.0)
+        scale = float(spec.opt("scale", 1.0))
+        shift = float(spec.opt("shift", 0.0))
+        y = scale * inputs[0].astype(jnp.float32) + shift
+        out = jnp.exp(y) if base == -1.0 else jnp.power(base, y)
+        return [out.astype(inputs[0].dtype)], None
+
+
+class _LRN(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        return [
+            ops.elementwise.lrn(
+                inputs[0],
+                local_size=int(spec.opt("local_size", 5)),
+                alpha=float(spec.opt("alpha", 1.0)),
+                beta=float(spec.opt("beta", 0.75)),
+                k=float(spec.opt("k", 1.0)),
+            )
+        ], None
+
+
+class _ArgMax(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        return [jnp.argmax(inputs[0], axis=-1).astype(jnp.float32)], None
+
+
+class _EuclideanLoss(LayerImpl):
+    """0.5/N * sum((a-b)^2), euclidean_loss_layer.cpp."""
+
+    def apply(self, spec, params, state, inputs, ctx):
+        a, b = inputs[0].astype(jnp.float32), inputs[1].astype(jnp.float32)
+        n = a.shape[0]
+        return [0.5 * jnp.sum(jnp.square(a - b)) / n], None
+
+
+class _BatchNormCaffe(LayerImpl):
+    """New-style Caffe "BatchNorm" (3 blobs: mean, var, scale_factor) --
+    always paired with a separate Scale layer.  Stats are state; the
+    scale_factor normalization (batch_norm_layer.cpp) is applied on import.
+    At train time behaves like our BN with gamma=1, beta=0."""
+
+    def state_specs(self, spec, in_shapes):
+        c = in_shapes[0][-1]
+        return {"mean": ((c,), jnp.float32, 0.0), "var": ((c,), jnp.float32, 1.0)}
+
+    def apply(self, spec, params, state, inputs, ctx):
+        c = inputs[0].shape[-1]
+        ones = jnp.ones((c,), jnp.float32)
+        zeros = jnp.zeros((c,), jnp.float32)
+        eps = float(spec.opt("eps", 1e-5))
+        use_global = spec.opt("use_global_stats")
+        train_stats = ctx.train and not bool(use_global)
+        if train_stats:
+            y, nm, nv = ops.bn_train(
+                inputs[0], ones, zeros, state["mean"], state["var"],
+                eps=eps,
+                momentum=float(spec.opt("moving_average_fraction", 0.999)),
+                axis_name=ctx.bn_axis_name,
+            )
+            return [y], {"mean": nm, "var": nv}
+        y = ops.bn_inference(
+            inputs[0], ones, zeros, state["mean"], state["var"], eps=eps
+        )
+        return [y], None
+
+
 class _Gather(LayerImpl):
     """Model-parallel section entry (reference gather_layer.cpp): allgather
     activations along the batch so downstream layers run replicated.
@@ -421,6 +504,14 @@ IMPLS: dict[str, LayerImpl] = {
     "gather": _Gather(),
     "scatter": _Scatter(),
     "identity": _Identity(),
+    "sigmoid": _Sigmoid(),
+    "tanh": _TanH(),
+    "absval": _AbsVal(),
+    "exp": _Exp(),
+    "lrn": _LRN(),
+    "argmax": _ArgMax(),
+    "euclideanloss": _EuclideanLoss(),
+    "batchnorm": _BatchNormCaffe(),
 }
 
 
@@ -460,7 +551,11 @@ class Program:
         self.input_names = list(self.graph.inputs) + [
             t for l in self.data_layers for t in l.tops
         ]
-        consumed = {b for l in self.exec_layers for b in l.bottoms}
+        # in-place layers (top == bottom) do not consume their blob -- a
+        # graph ending in conv -> in-place BN/ReLU still outputs "conv"
+        consumed = {
+            b for l in self.exec_layers for b in l.bottoms if b not in l.tops
+        }
         produced = [t for l in self.exec_layers for t in l.tops]
         # In-place layers re-produce their top; keep last producer ordering.
         self.output_names = [t for t in dict.fromkeys(produced) if t not in consumed]

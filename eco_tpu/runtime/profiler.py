@@ -60,41 +60,75 @@ def time_layers(
     iters: int = 10,
     warmup: int = 2,
     rng=None,
+    backward: bool = False,
 ):
-    """Returns [(layer_name, type, ms_per_iter)] + total; prints nothing."""
+    """Per-layer micro-benchmark.
+
+    Returns [(layer_name, type, fwd_ms)] or, with ``backward=True``,
+    [(layer_name, type, fwd_ms, bwd_ms)] where bwd is the layer's VJP on its
+    inputs+params (what ``caffe time`` reports per layer,
+    tools/caffe.cpp:318-357).
+    """
     if rng is None and program.train:
         rng = jax.random.PRNGKey(0)
     blobs = _run_collect(program, params, state, inputs, rng=rng)
     ctx = Context(train=program.train, rng=rng, compute_dtype=program.compute_dtype)
     rows = []
+
+    def bench(fn, args):
+        for _ in range(warmup):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+            jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters * 1e3
+
     for layer in program.exec_layers:
         impl = get_impl(layer.type)
         ins = [blobs[b] for b in layer.bottoms]
         lp = params.get(layer.name, {})
         ls = state.get(layer.name, {})
 
-        jfn = jax.jit(
-            lambda *xs, impl=impl, layer=layer, lp=lp, ls=ls: impl.apply(
-                layer, lp, ls, list(xs), ctx
-            )[0]
-        )
-        for _ in range(warmup):
-            out = jfn(*ins)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = jfn(*ins)
-            jax.block_until_ready(out)
-        ms = (time.perf_counter() - t0) / iters * 1e3
-        rows.append((layer.name, layer.type, ms))
+        def fwd(lp, *xs, impl=impl, layer=layer, ls=ls):
+            return impl.apply(layer, lp, ls, list(xs), ctx)[0]
+
+        fwd_ms = bench(jax.jit(fwd), (lp, *ins))
+        if backward:
+            import jax.numpy as jnp
+
+            def loss(lp, *xs, fwd=fwd):
+                outs = fwd(lp, *xs)
+                return sum(
+                    jnp.sum(o.astype(jnp.float32))
+                    for o in outs
+                    if hasattr(o, "dtype")
+                )
+
+            grad_fn = jax.jit(jax.grad(loss, argnums=tuple(range(1 + len(ins)))))
+            try:
+                bwd_ms = bench(grad_fn, (lp, *ins)) - fwd_ms
+            except TypeError:
+                bwd_ms = float("nan")  # non-differentiable (int inputs etc.)
+            rows.append((layer.name, layer.type, fwd_ms, max(bwd_ms, 0.0)))
+        else:
+            rows.append((layer.name, layer.type, fwd_ms))
     return rows
 
 
 def format_layer_times(rows) -> str:
+    has_bwd = rows and len(rows[0]) == 4
+    hdr = f"{'layer':40s} {'type':18s} {'fwd ms':>9s}"
+    if has_bwd:
+        hdr += f" {'bwd ms':>9s}"
+    lines = [hdr]
+    for row in rows:
+        line = f"{row[0]:40s} {row[1]:18s} {row[2]:9.3f}"
+        if has_bwd:
+            line += f" {row[3]:9.3f}"
+        lines.append(line)
     total = sum(r[2] for r in rows)
-    lines = [f"{'layer':40s} {'type':18s} {'fwd ms':>9s}"]
-    for name, typ, ms in rows:
-        lines.append(f"{name:40s} {typ:18s} {ms:9.3f}")
     lines.append(f"{'TOTAL (sum of isolated layers)':59s} {total:9.3f}")
     return "\n".join(lines)
 

@@ -197,6 +197,14 @@ _OPTS_MAP = {
     "Data": ("data_param", "data"),
     "Gather": (None, "gather"),
     "Scatter": (None, "scatter"),
+    "LRN": ("lrn_param", "lrn"),
+    "Sigmoid": (None, "sigmoid"),
+    "TanH": (None, "tanh"),
+    "AbsVal": (None, "absval"),
+    "Exp": ("exp_param", "exp"),
+    "ArgMax": ("argmax_param", "argmax"),
+    "EuclideanLoss": (None, "euclideanloss"),
+    "BatchNorm": ("batch_norm_param", "batchnorm"),
 }
 
 

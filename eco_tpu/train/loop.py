@@ -123,8 +123,24 @@ class Trainer:
                 self.test(ts, test_iter_fn())
             batch = next(train_iter)
             rng, sub = jax.random.split(rng)
+            prev_ts = ts
             ts, metrics = self.step(ts, batch, sub)
-            self.loss_window.append(float(metrics["loss"]))
+            loss_val = float(metrics["loss"])
+            if not np.isfinite(loss_val):
+                # failure detection the reference lacks (SURVEY.md section 5):
+                # snapshot the last-good state before aborting so training can
+                # resume instead of silently poisoning the weights.
+                saved = ""
+                try:
+                    if self.cfg.snapshot_prefix:
+                        snapshot(self.cfg.snapshot_prefix + "_lastgood", prev_ts, it)
+                        saved = "; last-good state snapshotted"
+                except Exception:
+                    pass  # donated buffers (sharded step) cannot be re-read
+                raise FloatingPointError(
+                    f"non-finite loss {loss_val} at iteration {it}{saved}"
+                )
+            self.loss_window.append(loss_val)
             for hook in hooks:
                 hook(it, ts, metrics)
             if cfg.display and it % cfg.display == 0:

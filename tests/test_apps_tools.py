@@ -187,3 +187,44 @@ def test_cli_device_query_and_time(capsys):
           "--segments", "4", "--iters", "1"])
     out = capsys.readouterr().out
     assert "conv1_7x7_s2" in out and "TOTAL" in out
+
+
+def test_backward_layer_timing():
+    g = _tiny_video_model(S=2, crop=16)
+    prog = Program(g, train=False)
+    data = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 2, 16, 16, 3)), jnp.float32
+    )
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    rows = time_layers(prog, params, state, {"data": data}, iters=1, warmup=1,
+                       backward=True)
+    assert all(len(r) == 4 for r in rows)
+    table = format_layer_times(rows)
+    assert "bwd ms" in table
+
+
+def test_trainer_nan_guard(tmp_path):
+    from eco_tpu.spec.netspec import NetBuilder
+    from eco_tpu.train import SolverConfig
+
+    b = NetBuilder("nan")
+    x = b.input("data", (4, 3))
+    b.input("label", (4,))
+    y = b.fc("fc", x, 2)
+    b.layer("loss", "softmaxwithloss", (y, "label"))
+    g = b.build()
+    prog = Program(g, train=True)
+    cfg = SolverConfig(base_lr=1.0, lr_policy="fixed", max_iter=5,
+                       snapshot_prefix=str(tmp_path / "ng"), snapshot=0)
+    trainer = Trainer(prog, cfg, log_fn=lambda *_: None)
+    ts = trainer.init_state({"data": np.zeros((4, 3), np.float32),
+                             "label": np.zeros((4,), np.int32)})
+
+    def batches():
+        while True:
+            yield {"data": np.full((1, 4, 3), np.nan, np.float32),
+                   "label": np.zeros((1, 4), np.int32)}
+
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        trainer.solve(ts, batches())
+    assert os.path.exists(str(tmp_path / "ng") + "_lastgood_iter_0.model.npz")

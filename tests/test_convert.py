@@ -1,6 +1,7 @@
 """Prototxt import, caffemodel wire parsing, weight import, BN folding."""
 
 import os
+import torch
 import struct
 
 import numpy as np
@@ -305,3 +306,74 @@ def test_import_c3d_resnet18_trainval():
     outs, _ = prog.apply(params, state, {"data": data, "label": label},
                          rng=jax.random.PRNGKey(1))
     assert np.isfinite(float(outs["loss"]))
+
+
+def test_new_style_batchnorm_scale_pair(tmp_path):
+    # Caffe "BatchNorm"+"Scale" pair (post-2015 style) import + execution
+    text = '''
+    name: "bnscale"
+    input: "data"
+    input_dim: 2 input_dim: 3 input_dim: 8 input_dim: 8
+    layer { name: "conv" type: "Convolution" bottom: "data" top: "conv"
+      convolution_param { num_output: 4 kernel_size: 3 pad: 1 } }
+    layer { name: "bn" type: "BatchNorm" bottom: "conv" top: "conv"
+      batch_norm_param { use_global_stats: true } }
+    layer { name: "sc" type: "Scale" bottom: "conv" top: "conv"
+      scale_param { bias_term: true } }
+    layer { name: "relu" type: "ReLU" bottom: "conv" top: "conv" }
+    '''
+    g = graph_from_prototxt(text)
+    prog = Program(g, train=False)
+    data = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 8, 8, 3)), jnp.float32
+    )
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    assert "mean" in state["bn"] and "scale" in params["sc"]
+    # caffemodel import with scale_factor normalization
+    rngv = np.random.default_rng(1)
+    mean = rngv.standard_normal((1, 4, 1, 1)).astype(np.float32)
+    var = (rngv.random((1, 4, 1, 1)) + 0.5).astype(np.float32)
+    factor = np.asarray([2.0], np.float32)
+    sc_w = rngv.standard_normal(4).astype(np.float32)
+    sc_b = rngv.standard_normal(4).astype(np.float32)
+    path = tmp_path / "bns.caffemodel"
+    path.write_bytes(_make_caffemodel([
+        ("bn", "BatchNorm", [mean, var, factor]),
+        ("sc", "Scale", [sc_w, sc_b]),
+    ]))
+    p2, s2, rep = import_caffe_weights(g, params, state, str(path))
+    np.testing.assert_allclose(np.asarray(s2["bn"]["mean"]),
+                               mean.reshape(-1) / 2.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p2["sc"]["scale"]), sc_w)
+    outs, _ = prog.apply(p2, s2, {"data": data})
+    assert np.isfinite(np.asarray(outs["conv"])).all()
+
+
+def test_lrn_and_activation_layers():
+    text = '''
+    name: "acts"
+    input: "data"
+    input_dim: 2 input_dim: 4 input_dim: 6 input_dim: 6
+    layer { name: "lrn" type: "LRN" bottom: "data" top: "lrn"
+      lrn_param { local_size: 3 alpha: 0.5 beta: 0.75 } }
+    layer { name: "sig" type: "Sigmoid" bottom: "lrn" top: "sig" }
+    layer { name: "tanh" type: "TanH" bottom: "sig" top: "tanh" }
+    layer { name: "abs" type: "AbsVal" bottom: "tanh" top: "abs" }
+    '''
+    g = graph_from_prototxt(text)
+    prog = Program(g, train=False)
+    data = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 6, 6, 4)), jnp.float32
+    )
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    outs, _ = prog.apply(params, state, {"data": data})
+    # LRN vs torch
+    import torch.nn.functional as TF
+    ref = TF.local_response_norm(
+        torch.from_numpy(np.moveaxis(np.asarray(data), -1, 1)),
+        size=3, alpha=0.5, beta=0.75, k=1.0,
+    ).numpy()
+    from eco_tpu.ops.elementwise import lrn
+    got = np.moveaxis(np.asarray(lrn(data, local_size=3, alpha=0.5, beta=0.75)), -1, 1)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+    assert np.all(np.asarray(outs["abs"]) >= 0)
