@@ -65,13 +65,17 @@ def streaming_allocation(num_windows: int, total: int = 16):
     is rescaled proportionally (newest window absorbs rounding)."""
     algo = [[16], [8, 8], [4, 4, 8], [2, 2, 4, 8], [1, 1, 2, 4, 8]]
     k = min(num_windows, len(algo))
-    alloc = algo[k - 1]
-    if total != 16:
-        alloc = [max(1, a * total // 16) for a in alloc]
-        alloc[-1] += total - sum(alloc)
-        if alloc[-1] < 1:
-            raise ValueError(f"total={total} too small for {k} windows")
-    return alloc
+    while k >= 1:
+        alloc = algo[k - 1]
+        if total != 16:
+            alloc = [max(1, a * total // 16) for a in alloc]
+            alloc[-1] += total - sum(alloc)
+            if alloc[-1] < 1:
+                # too few segments for this many windows: drop the oldest
+                k -= 1
+                continue
+        return alloc
+    raise ValueError(f"total={total} must be >= 1")
 
 
 def subsample_window(frames, count: int):

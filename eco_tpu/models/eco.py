@@ -42,9 +42,14 @@ def build_eco_lite(
     dropout_ratio: float = 0.3,
     with_loss: bool = False,
     batch: int = 1,
+    in_channels: int = 3,
 ) -> GraphSpec:
+    """``in_channels``: 3 for RGB, 2*new_length for stacked optical flow
+    (the TSN-style flow modality the reference's data layer supports)."""
     b = NetBuilder("eco_lite")
-    data = b.input("data", (batch, num_segments, crop_size, crop_size, 3))
+    data = b.input(
+        "data", (batch, num_segments, crop_size, crop_size, in_channels)
+    )
     if with_loss:
         b.input("label", (batch,))
     x = b.layer("reshape_data", "fold_segments", data)  # (N*S, H, W, 3)
@@ -68,9 +73,12 @@ def build_eco_full(
     dropout_ratio: float = 0.5,
     with_loss: bool = False,
     batch: int = 1,
+    in_channels: int = 3,
 ) -> GraphSpec:
     b = NetBuilder("eco_full")
-    data = b.input("data", (batch, num_segments, crop_size, crop_size, 3))
+    data = b.input(
+        "data", (batch, num_segments, crop_size, crop_size, in_channels)
+    )
     if with_loss:
         b.input("label", (batch,))
     x = b.layer("reshape_data", "fold_segments", data)

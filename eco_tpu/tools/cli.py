@@ -144,7 +144,12 @@ def cmd_train(args):
             "graph has no VideoData layer and no --list given; "
             "pass --list train.txt or use the python API"
         )
-    pipe = VideoPipeline(dcfg, train=True, seed=cfg.random_seed)
+    # multi-host: shard the list by cursor offset exactly like the
+    # reference's MPI ranks (base_data_layer.cpp:42-45)
+    pipe = VideoPipeline(
+        dcfg, train=True, seed=cfg.random_seed,
+        rank=jax.process_index(), world=jax.process_count(),
+    )
 
     def micro_batches():
         while True:
@@ -253,6 +258,46 @@ def cmd_fold(args):
     print(f"Folded model -> {args.output} ({len(fg.layers)} layers)")
 
 
+def cmd_online(args):
+    """Streaming recognition over a frame directory -- the webcam demo
+    (scripts/online_recognition/online_recognition.py) without the camera."""
+    import jax
+    import jax.numpy as jnp
+
+    import cv2
+
+    from eco_tpu.apps import OnlineRecognizer
+    from eco_tpu.runtime import Program
+    from eco_tpu.train import load_model
+    from eco_tpu.train.solver import init_train_state
+
+    graph = _build_graph(args, with_loss=False)
+    prog = Program(graph, train=False, compute_dtype=jnp.bfloat16)
+    sample = {
+        k: jnp.zeros(shape, jnp.float32) for k, shape in graph.inputs.items()
+    }
+    params, state = prog.init(jax.random.PRNGKey(0), sample)
+    if args.weights:
+        from eco_tpu.train import restore_weights
+
+        params, state, _ = restore_weights(args.weights, params, state)
+    labels = None
+    if args.classes:
+        labels = [l.strip() for l in open(args.classes)]
+    rec = OnlineRecognizer(prog, params, state, num_segments=args.segments)
+    frames = sorted(os.listdir(args.frames))
+    for i, name in enumerate(frames):
+        img = cv2.imread(os.path.join(args.frames, name))
+        if img is None:
+            continue
+        res = rec.push_frame(img)
+        if res is not None:
+            idx, smoothed = res
+            label = labels[idx] if labels else str(idx)
+            print(f"frame {i + 1}: prediction = {label} "
+                  f"(logit {smoothed[idx]:.3f})")
+
+
 def cmd_draw(args):
     from eco_tpu.tools.draw import to_dot
 
@@ -316,6 +361,13 @@ def main(argv=None):
     common(sp)
     sp.add_argument("-o", "--output", default=None)
     sp.set_defaults(fn=cmd_draw)
+
+    sp = sub.add_parser("online")
+    common(sp)
+    sp.add_argument("--frames", required=True, help="directory of frames")
+    sp.add_argument("--weights", default=None)
+    sp.add_argument("--classes", default=None, help="class-name list file")
+    sp.set_defaults(fn=cmd_online)
 
     args = p.parse_args(argv)
     return args.fn(args)
