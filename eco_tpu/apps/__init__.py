@@ -3,3 +3,5 @@ from eco_tpu.apps.online import (
     OnlineRecognizer,
     preprocess_frame,
 )
+from eco_tpu.apps.serving import UInt8Server
+from eco_tpu.apps.tsn_eval import OversampleEvaluator, oversample_video, ten_crop

@@ -228,3 +228,29 @@ def test_trainer_nan_guard(tmp_path):
     with pytest.raises(FloatingPointError, match="non-finite"):
         trainer.solve(ts, batches())
     assert os.path.exists(str(tmp_path / "ng") + "_lastgood_iter_0.model.npz")
+
+
+def test_uint8_server_matches_host_path():
+    from eco_tpu.apps import UInt8Server
+    from eco_tpu.data.transform import TransformConfig, transform_stack
+
+    S, crop = 2, 32
+    g = _tiny_video_model(S=S, crop=crop)
+    prog = Program(g, train=False)
+    params, state = prog.init(
+        jax.random.PRNGKey(0), {"data": jnp.zeros((1, S, crop, crop, 3))}
+    )
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (2, S, 48, 64, 3), dtype=np.uint8)
+    server = UInt8Server(prog, params, state, crop=crop, interpret=True)
+    probs = np.asarray(server(jnp.asarray(frames)), np.float32)
+    # host reference: center crop + mean through the python transform
+    cfg = TransformConfig(crop_size=crop, multi_scale=False, mirror=False)
+    host = np.stack(
+        [transform_stack(f, cfg, train=False) for f in frames]
+    )
+    ref = np.asarray(
+        prog.apply(params, state, {"data": jnp.asarray(host)})[0]["probs"],
+        np.float32,
+    )
+    np.testing.assert_allclose(probs, ref, rtol=1e-3, atol=1e-4)
