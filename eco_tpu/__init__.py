@@ -22,3 +22,20 @@ as an idiomatic TPU framework:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy convenience exports: eco_tpu.get_model, eco_tpu.Program, ..."""
+    if name == "get_model":
+        from eco_tpu.models import get_model
+
+        return get_model
+    if name == "Program":
+        from eco_tpu.runtime import Program
+
+        return Program
+    if name == "ops":
+        import eco_tpu.ops as ops
+
+        return ops
+    raise AttributeError(name)

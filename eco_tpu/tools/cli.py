@@ -298,6 +298,38 @@ def cmd_online(args):
                   f"(logit {smoothed[idx]:.3f})")
 
 
+def cmd_extract(args):
+    """Dump intermediate activations (tools/extract_features.cpp parity)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eco_tpu.data import VideoPipeline
+    from eco_tpu.runtime import Program
+
+    graph = _build_graph(args, with_loss=False)
+    prog = Program(graph, train=False)
+    dcfg = _data_cfg_from_graph(graph, "test", args.list, args)
+    if dcfg is None:
+        raise SystemExit("pass --list with the videos to extract from")
+    pipe = VideoPipeline(dcfg, train=False, seed=0)
+    batch = pipe.next_batch()
+    pipe.close()
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": batch["data"]})
+    if args.weights:
+        from eco_tpu.train import restore_weights
+
+        params, state, _ = restore_weights(args.weights, params, state)
+    blobs = [b.strip() for b in args.blobs.split(",")]
+    # jit: eager per-op dispatch would compile every op separately
+    outs, _ = jax.jit(
+        lambda p, s, d: prog.apply(p, s, {"data": d}, capture=blobs)
+    )(params, state, batch["data"])
+    np.savez(args.output, **{b: np.asarray(outs[b]) for b in blobs})
+    print(f"wrote {args.output}: " + ", ".join(
+        f"{b}{tuple(np.asarray(outs[b]).shape)}" for b in blobs
+    ))
+
+
 def cmd_draw(args):
     from eco_tpu.tools.draw import to_dot
 
@@ -368,6 +400,13 @@ def main(argv=None):
     sp.add_argument("--weights", default=None)
     sp.add_argument("--classes", default=None, help="class-name list file")
     sp.set_defaults(fn=cmd_online)
+
+    sp = sub.add_parser("extract")  # extract_features parity
+    common(sp)
+    sp.add_argument("--weights", default=None)
+    sp.add_argument("--blobs", required=True, help="comma-separated blob names")
+    sp.add_argument("-o", "--output", required=True, help="output .npz")
+    sp.set_defaults(fn=cmd_extract)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -51,6 +51,32 @@ def class_index(classes: Sequence[str]) -> dict[str, int]:
     return {c: i for i, c in enumerate(sorted(classes))}
 
 
+def compute_image_mean(
+    records,
+    *,
+    max_frames_per_video: int = 4,
+) -> "np.ndarray":
+    """Per-channel BGR mean over a dataset (tools/compute_image_mean.cpp).
+
+    ``records``: iterable of VideoRecord-like (path, num_frames, label).
+    Returns float64 (3,) channel means.
+    """
+    import cv2
+    import numpy as np
+
+    total = np.zeros(3, np.float64)
+    count = 0
+    for rec in records:
+        step = max(1, rec.num_frames // max_frames_per_video)
+        for f in range(0, rec.num_frames, step):
+            img = cv2.imread(os.path.join(rec.path, "img_%04d.jpg" % (f + 1)))
+            if img is None:
+                continue
+            total += img.reshape(-1, 3).mean(axis=0)
+            count += 1
+    return total / max(count, 1)
+
+
 def extract_frames(
     video_path: str,
     out_dir: str,

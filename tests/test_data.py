@@ -224,3 +224,32 @@ def test_pipeline_raises_when_all_videos_unreadable(tmp_path):
             pipe.next_batch()
     finally:
         pipe.close()
+
+
+def test_hdf5_source_roundtrip(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    from eco_tpu.data.hdf5 import HDF5Source, save_hdf5
+
+    rng = np.random.default_rng(0)
+    # two files, NCHW data like caffe HDF5 blobs
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"part{i}.h5")
+        save_hdf5(p, {
+            "data": np.moveaxis(
+                rng.standard_normal((5, 6, 6, 3)).astype(np.float32), -1, 1
+            ),
+            "label": np.arange(5, dtype=np.float32) + i * 5,
+        }, channels_first=False)
+        paths.append(p)
+    listing = tmp_path / "files.txt"
+    listing.write_text("\n".join(paths) + "\n")
+    src = HDF5Source(str(listing), batch_size=4)
+    b1 = src.next_batch()
+    assert b1["data"].shape == (4, 6, 6, 3)  # channels-last conversion
+    np.testing.assert_array_equal(b1["label"], [0, 1, 2, 3])
+    b2 = src.next_batch()  # crosses the file boundary 5 -> file 2
+    np.testing.assert_array_equal(b2["label"], [4, 5, 6, 7])
+    # single .h5 path + shuffle
+    src2 = HDF5Source(paths[0], batch_size=5, shuffle=True, seed=1)
+    assert set(src2.next_batch()["label"]) == {0, 1, 2, 3, 4}
