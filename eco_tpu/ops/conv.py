@@ -50,6 +50,11 @@ def conv_nd(
     num_spatial = x.ndim - 2
     if w.dtype != x.dtype:
         w = w.astype(x.dtype)  # keep MXU inputs homogeneous (bf16 policy)
+    # NOTE: no preferred_element_type=f32 upcast here.  The TPU MXU already
+    # accumulates bf16 convolutions in f32 internally, and an explicit f32
+    # output dtype breaks the conv VJP under bf16 (mixed-dtype transpose
+    # rule) -- the bf16 training path needs grad(conv(bf16)) to work.
+    del accum_dtype
     stride = normalize_spatial_param(stride, num_spatial, default=1)
     pad = normalize_spatial_param(pad, num_spatial, default=0)
     dilation = normalize_spatial_param(dilation, num_spatial, default=1)
@@ -76,7 +81,6 @@ def conv_nd(
             lhs_dilation=stride,
             rhs_dilation=dilation,
             dimension_numbers=dn,
-            preferred_element_type=accum_dtype,
         )
     else:
         y = lax.conv_general_dilated(
@@ -87,7 +91,6 @@ def conv_nd(
             rhs_dilation=dilation,
             dimension_numbers=dn,
             feature_group_count=groups,
-            preferred_element_type=accum_dtype,
         )
     y = y.astype(x.dtype)
     if b is not None:
