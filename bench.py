@@ -66,12 +66,19 @@ def main():
         int(b) for b in os.environ.get("ECO_BENCH_BATCHES", "64").split(",")
     )
     best = 0.0
+    errors = []
     for batch in batches:
         try:
             v = bench(batch=batch)
-        except Exception:
-            break
+        except Exception as e:  # try remaining batch sizes, but never
+            import traceback     # mask total failure as a 0.0 score
+
+            traceback.print_exc()
+            errors.append(e)
+            continue
         best = max(best, v)
+    if best == 0.0 and errors:
+        raise errors[0]
     print(
         json.dumps(
             {

@@ -199,5 +199,6 @@ def fold_bn(graph: GraphSpec, params: Mapping, state: Mapping,
         new_layers.append(l)
         for t in l.tops:
             producer[t] = l
-    folded = GraphSpec(graph.name + "_folded", dict(graph.inputs), new_layers)
+    folded = GraphSpec(graph.name + "_folded", dict(graph.inputs), new_layers,
+                       dict(graph.options))
     return folded, new_params, new_state

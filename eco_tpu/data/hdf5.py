@@ -59,6 +59,8 @@ class HDF5Source:
         with h5py.File(self.files[idx], "r") as f:
             self._arrays = {k: np.asarray(f[k]) for k in self.keys}
         n = len(next(iter(self._arrays.values())))
+        if n == 0:
+            raise ValueError(f"{self.files[idx]}: empty datasets")
         for k, v in self._arrays.items():
             if len(v) != n:
                 raise ValueError(f"dataset {k!r} length {len(v)} != {n}")

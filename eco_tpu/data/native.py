@@ -94,8 +94,24 @@ class NativeVideoPipeline:
             )
         self.cfg = cfg
         self._lib = lib
+        source = cfg.source
+        if cfg.root:
+            # the C ABI takes only the list path; resolve root-relative
+            # entries into a temp list so paths stay correct
+            import tempfile
+
+            from eco_tpu.data.video_list import parse_video_list
+
+            recs = parse_video_list(cfg.source, root=cfg.root)
+            tf = tempfile.NamedTemporaryFile(
+                "w", suffix=".txt", delete=False, prefix="ecolist"
+            )
+            for r in recs:
+                tf.write(f"{r.path} {r.num_frames} {r.label}\n")
+            tf.close()
+            source = tf.name
         self._handle = lib.eco_loader_create(
-            cfg.source.encode(),
+            source.encode(),
             cfg.batch_size, cfg.num_segments, cfg.new_length,
             t.crop_size, num_workers, int(train), int(cfg.shuffle),
             seed, cfg.name_pattern.encode(),

@@ -153,7 +153,8 @@ class VideoPipeline:
         while not self._stop.is_set():
             try:
                 batch = self._make_batch()
-            except RuntimeError as e:
+            except Exception as e:  # surface ANY failure to the consumer
+                # (a silently dead producer would deadlock next_batch)
                 self._error = e
                 while not self._stop.is_set():
                     try:

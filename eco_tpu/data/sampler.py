@@ -28,8 +28,14 @@ def sample_offsets(
     rand_step: bool = False,
 ):
     """Returns (offsets[num_segments], skips[num_segments, new_length]),
-    0-based frame offsets of each segment clip."""
-    avg = n_frames / num_segments
+    0-based frame offsets of each segment clip.
+
+    NOTE: ``average_duration`` is an INTEGER in the reference --
+    ``lines_duration_`` is vector<int>, so video_data_layer.cpp:156 computes
+    int/int division before widening to double.  Frame indices therefore use
+    the floored duration.
+    """
+    avg = n_frames // num_segments
     offsets = np.zeros(num_segments, np.int64)
     skips = np.zeros((num_segments, new_length), np.int64)
     for i in range(num_segments):

@@ -105,6 +105,8 @@ def transform_stack(
     cs = cfg.crop_size
     if h < cs or w < cs:
         raise ValueError(f"frame {h}x{w} smaller than crop {cs}")
+    if train and rng is None:
+        rng = np.random.default_rng()
 
     do_mirror = bool(cfg.mirror and train and rng.integers(0, 2))
     if train:

@@ -23,11 +23,16 @@ def add_3d_head(b: NetBuilder, bottom: str) -> str:
     p1 = (1, 1, 1)
 
     def conv3(name, x, cout, s, top=None):
+        from eco_tpu.spec.graph import ParamSpec
+
         return b.layer(
             name, "convolution", x, tops=top,
             num_output=cout, kernel_size=k3, stride=s, pad=p1,
             weight_filler={"type": "xavier"},
             bias_filler={"type": "constant", "value": 0.0},
+            # reference 3D convs: weight lr1/decay1, bias lr2/decay0
+            # (ECO_Lite.prototxt:1349)
+            params=(ParamSpec(1.0, 1.0), ParamSpec(2.0, 0.0)),
         )
 
     def bn_relu(name, x):

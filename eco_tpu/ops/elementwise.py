@@ -4,9 +4,10 @@ Reference parity:
 - ReLU with optional ``negative_slope`` (relu_layer.cpp);
 - inverted dropout -- Caffe scales kept units by 1/(1-ratio) at TRAIN and is
   identity at TEST (dropout_layer.cpp);
-- Eltwise PROD/SUM/MAX plus the fork's STOCHASTIC_SUM, which at TRAIN drops
-  every bottom but one chosen uniformly at random and at TEST averages
-  (eltwise_layer.cpp:101-118); ECO's residual adds are coefficient-less SUM;
+- Eltwise PROD/SUM/MAX plus the fork's STOCHASTIC_SUM, which at TRAIN
+  includes each bottom independently with probability coeff[i] and at TEST
+  is the coeff-weighted sum (eltwise_layer.cpp:101-118); ECO's residual adds
+  are coefficient-less SUM;
 - Concat along the channel axis (logical axis 1 -> physical last axis here).
 """
 

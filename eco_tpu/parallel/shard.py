@@ -69,7 +69,6 @@ def make_segment_sharded_infer_fn(program, mesh: Mesh, *, output: str = "probs")
     from eco_tpu.parallel.mesh import SEGMENT_AXIS
 
     in_sh = NamedSharding(mesh, P(DATA_AXIS, SEGMENT_AXIS))
-    rep = replicated(mesh)
 
     @jax.jit
     def infer(params, state, data):
@@ -85,7 +84,6 @@ def make_segment_sharded_infer_fn(program, mesh: Mesh, *, output: str = "probs")
 def make_sharded_infer_fn(program, mesh: Mesh, *, output: str = "probs"):
     """Batched multi-video inference with videos sharded over the mesh."""
     data_sh = NamedSharding(mesh, P(DATA_AXIS))
-    rep = replicated(mesh)
 
     @jax.jit
     def infer(params, state, data):

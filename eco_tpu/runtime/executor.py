@@ -517,7 +517,6 @@ IMPLS: dict[str, LayerImpl] = {
 
 def get_impl(layer_type: str) -> LayerImpl:
     key = layer_type.lower().replace("_", "")
-    key = {"innerproduct": "innerproduct"}.get(key, key)
     for cand in (layer_type.lower(), key):
         if cand in IMPLS:
             return IMPLS[cand]

@@ -60,7 +60,10 @@ class NetBuilder:
     # -- common layers -------------------------------------------------------
 
     def conv(self, name, bottom, num_output, *, k, s=1, p=0, bias=True, group=1,
-             weight_filler=None, lr=(1.0, 2.0), decay=(1.0, 0.0)):
+             weight_filler=None, lr=(1.0, 1.0), decay=(1.0, 2.0)):
+        """Default lr/decay multipliers follow the reference 2D trunk convs
+        (weight lr1/decay1, bias lr1/decay2, ECO_Lite.prototxt:186-193);
+        pass lr=(1,2), decay=(1,0) for the 3D-head/FC style."""
         params = (ParamSpec(lr[0], decay[0]),)
         if bias:
             params = params + (ParamSpec(lr[1], decay[1]),)

@@ -268,17 +268,20 @@ def _peephole(layers: list[LayerSpec], data_tops: set[str]) -> list[LayerSpec]:
                 )
                 i += 2
                 continue
-            # segment consensus triple
+            # segment consensus triple (must be AVE and actually connected)
             if (
                 len(dims) == 4
                 and dims[0] == -1
                 and dims[1] == 1
                 and nxt is not None
                 and nxt.type == "pooling"
+                and str(nxt.opt("pool", "max")).lower() in ("ave", "avg")
+                and nxt.bottoms == l.tops
                 and nxt.opt("kernel_h") == dims[2]
                 and nxt.opt("kernel_w") == 1
                 and nxt2 is not None
                 and nxt2.type == "reshape"
+                and nxt2.bottoms == nxt.tops
             ):
                 out.append(
                     LayerSpec(nxt.name, "segment_consensus", l.bottoms, nxt2.tops,

@@ -18,6 +18,7 @@
 #include <opencv2/imgcodecs.hpp>
 #include <opencv2/imgproc.hpp>
 
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
@@ -64,19 +65,21 @@ struct Config {
 
 void sample_offsets(int n_frames, const Config& c, std::mt19937_64& rng,
                     std::vector<int>* offsets) {
-  const double avg = double(n_frames) / c.segments;
+  // integer average_duration, matching the reference (lines_duration_ is
+  // vector<int>, so video_data_layer.cpp:156 floors before widening)
+  const int avg = n_frames / c.segments;
   offsets->clear();
   for (int i = 0; i < c.segments; ++i) {
     if (c.train) {
       if (avg >= c.new_length) {
-        std::uniform_int_distribution<int> d(0, int(avg) - c.new_length);
-        offsets->push_back(int(d(rng) + i * avg));
+        std::uniform_int_distribution<int> d(0, avg - c.new_length);
+        offsets->push_back(d(rng) + i * avg);
       } else {
-        offsets->push_back(int(i * avg));
+        offsets->push_back(i * avg);
       }
     } else {
       if (avg >= c.new_length)
-        offsets->push_back(int((avg - c.new_length + 1) / 2 + i * avg));
+        offsets->push_back((avg - c.new_length + 1) / 2 + i * avg);
       else
         offsets->push_back(0);
     }
@@ -245,21 +248,49 @@ struct Loader {
     }
     advance(size_t(cfg.world - 1) * cfg.batch);  // MPI-style cursor shard
     std::atomic<size_t> next(0);
+    std::vector<uint8_t> ok(items.size(), 0);
     auto worker = [&]() {
       size_t i;
       while ((i = next.fetch_add(1)) < items.size()) {
         Item& it = items[i];
         *it.label = it.rec.label;
-        if (!load_one(it.rec, it.seed, it.dst)) {
-          // unreadable video: zero-fill (reference skips; we keep shapes)
-          std::memset(it.dst, 0, item_floats() * sizeof(float));
+        bool good = false;
+        try {  // cv::Exception must not escape the thread (std::terminate)
+          good = load_one(it.rec, it.seed, it.dst);
+        } catch (const std::exception&) {
+          good = false;
         }
+        ok[i] = good ? 1 : 0;
       }
     };
     std::vector<std::thread> pool;
     int nthreads = std::max(1, std::min<int>(cfg.threads, cfg.batch));
     for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
     for (auto& t : pool) t.join();
+    // SKIP unreadable videos (reference video_data_layer.cpp:195-216):
+    // replace failed slots with the next readable records so data and
+    // labels always correspond.
+    for (size_t i = 0; i < items.size(); ++i) {
+      if (ok[i]) continue;
+      size_t attempts = records.size();
+      bool good = false;
+      while (attempts-- && !good) {
+        const Record& rec = records[cursor % records.size()];
+        advance(1);
+        *items[i].label = rec.label;
+        try {
+          good = load_one(rec, frame_rng(), items[i].dst);
+        } catch (const std::exception&) {
+          good = false;
+        }
+      }
+      if (!good) {
+        fprintf(stderr,
+                "ecodata: no readable videos while refilling batch slot %zu; "
+                "zero-filling\n", i);
+        std::memset(items[i].dst, 0, item_floats() * sizeof(float));
+      }
+    }
   }
 
   void producer_loop() {
