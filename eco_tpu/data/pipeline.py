@@ -44,6 +44,11 @@ class VideoDataConfig:
     rand_step: bool = False
     root: Optional[str] = None
     transform: TransformConfig = field(default_factory=TransformConfig)
+    # raw mode: emit resized uint8 frames + per-video augment decisions and
+    # let the device do crop/mirror/mean (eco_tpu.ops.pallas.preprocess /
+    # apps.serving.UInt8Server).  Requires new_height/new_width; only the
+    # fixed-crop-grid augmentation path is available on-device.
+    raw: bool = False
 
 
 class VideoPipeline:
@@ -67,6 +72,8 @@ class VideoPipeline:
         )
         if not self.records:
             raise ValueError("empty video list")
+        if cfg.raw and not (cfg.new_height and cfg.new_width):
+            raise ValueError("raw mode needs new_height/new_width (fixed size)")
         # twin-seeded RNGs like the reference (video_data_layer.cpp:126-131)
         self._shuffle_rng = np.random.default_rng(seed)
         self._frame_rng = np.random.default_rng(seed + 1)
@@ -112,6 +119,21 @@ class VideoPipeline:
                 rec.path, idx, name_pattern=cfg.name_pattern,
                 new_height=cfg.new_height, new_width=cfg.new_width,
             )
+        if cfg.raw:
+            # sample the augment decision on host, apply it on device
+            t = cfg.transform
+            h, w = stack.shape[1:3]
+            cs = t.crop_size
+            if self.train:
+                from eco_tpu.data.transform import fill_fix_offsets
+
+                offs = fill_fix_offsets(h, w, cs, cs, t.more_fix_crop)
+                h_off, w_off = offs[rng.integers(0, len(offs))]
+                mirror = bool(t.mirror and rng.integers(0, 2))
+            else:
+                h_off, w_off = (h - cs) // 2, (w - cs) // 2
+                mirror = False
+            return stack, np.int32(h_off), np.int32(w_off), mirror
         return transform_stack(stack, cfg.transform, train=self.train, rng=rng)
 
     def _make_batch(self):
@@ -144,6 +166,15 @@ class VideoPipeline:
             )
         # per-batch cursor skip for the other ranks
         self._advance((self.world - 1) * cfg.batch_size)
+        if cfg.raw:
+            stacks, h_off, w_off, mirror = zip(*arrs)
+            return {
+                "data": np.stack(stacks),  # uint8 (N, S*L, H, W, C)
+                "h_off": np.asarray(h_off, np.int32),
+                "w_off": np.asarray(w_off, np.int32),
+                "mirror": np.asarray(mirror, bool),
+                "label": np.asarray(labels, np.int32),
+            }
         return {
             "data": np.stack(arrs),
             "label": np.asarray(labels, np.int32),

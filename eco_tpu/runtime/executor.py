@@ -349,6 +349,14 @@ class _Silence(LayerImpl):
         return [], None
 
 
+class _Split(LayerImpl):
+    """Fan-out (split_layer.cpp): one bottom copied to N tops.  Caffe inserts
+    these automatically; they are free under a functional executor."""
+
+    def apply(self, spec, params, state, inputs, ctx):
+        return [inputs[0]] * len(spec.tops), None
+
+
 class _Identity(LayerImpl):
     """Pass-through (layout peepholes lower no-op reshapes to this)."""
 
@@ -512,6 +520,7 @@ IMPLS: dict[str, LayerImpl] = {
     "argmax": _ArgMax(),
     "euclideanloss": _EuclideanLoss(),
     "batchnorm": _BatchNormCaffe(),
+    "split": _Split(),
 }
 
 

@@ -66,9 +66,45 @@ class GraphSpec:
     layers: list[LayerSpec] = field(default_factory=list)
     options: dict = field(default_factory=dict)  # net-level (mem_param, ...)
 
-    def filtered(self, phase: str) -> "GraphSpec":
-        """Keep layers whose phase rule includes ``phase`` (net.cpp:318-407)."""
-        keep = [l for l in self.layers if l.phase in (None, phase)]
+    def filtered(self, phase: str, *, stages: Sequence[str] = (),
+                 level: int = 0) -> "GraphSpec":
+        """Keep layers whose NetState rules admit (phase, stages, level)
+        (Net::FilterNet/StateMeetsRule, net.cpp:318-407).
+
+        Most layers carry only a phase tag; layers imported from prototxts
+        with stage/level rules carry them in options['state_rules'].
+        """
+        stages = set(stages)
+
+        def rule_matches(rule: dict) -> bool:
+            ph = rule.get("phase")
+            if ph is not None and str(ph).lower() != phase:
+                return False
+            if "min_level" in rule and level < int(rule["min_level"]):
+                return False
+            if "max_level" in rule and level > int(rule["max_level"]):
+                return False
+            need = rule.get("stage", [])
+            need = need if isinstance(need, list) else [need]
+            if any(s not in stages for s in need):
+                return False
+            ban = rule.get("not_stage", [])
+            ban = ban if isinstance(ban, list) else [ban]
+            if any(s in stages for s in ban):
+                return False
+            return True
+
+        def keep_layer(l: LayerSpec) -> bool:
+            rules = l.opt("state_rules")
+            if rules:
+                inc = rules.get("include")
+                if inc:
+                    return any(rule_matches(r) for r in inc)
+                exc = rules.get("exclude", [])
+                return not any(rule_matches(r) for r in exc)
+            return l.phase in (None, phase)
+
+        keep = [l for l in self.layers if keep_layer(l)]
         return GraphSpec(self.name, dict(self.inputs), keep, dict(self.options))
 
     def layer(self, name: str) -> LayerSpec:

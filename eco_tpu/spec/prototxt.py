@@ -147,6 +147,12 @@ def _as_list(v):
 
 
 def _phase_of(layer: dict):
+    """Collapse include/exclude phase rules to a phase tag.
+
+    Full NetStateRule (net.cpp:318-407) also carries stage/level; those are
+    preserved verbatim in options['state_rules'] by _lower_layer and checked
+    by GraphSpec.filtered when a NetState is supplied.
+    """
     for rule, result in (("include", "match"), ("exclude", "invert")):
         for inc in _as_list(layer.get(rule)):
             ph = inc.get("phase")
@@ -205,6 +211,7 @@ _OPTS_MAP = {
     "ArgMax": ("argmax_param", "argmax"),
     "EuclideanLoss": (None, "euclideanloss"),
     "BatchNorm": ("batch_norm_param", "batchnorm"),
+    "Split": (None, "split"),
 }
 
 
@@ -233,6 +240,15 @@ def _lower_layer(layer: dict) -> LayerSpec:
         opts.update(layer["accuracy_param"])
     if ltype == "VideoData":
         opts["transform"] = dict(layer.get("transform_param", {}))
+    # preserve full NetStateRules (stage / not_stage / min/max_level) for
+    # GraphSpec.filtered; plain phase-only rules don't need this
+    rules = {}
+    for key in ("include", "exclude"):
+        rl = [r for r in _as_list(layer.get(key)) if isinstance(r, dict)]
+        if any(set(r) - {"phase"} for r in rl):
+            rules[key] = rl
+    if rules:
+        opts["state_rules"] = rules
     return LayerSpec(
         name=layer.get("name", layer["type"]),
         type=our_type,

@@ -254,3 +254,46 @@ def test_uint8_server_matches_host_path():
         np.float32,
     )
     np.testing.assert_allclose(probs, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_raw_pipeline_feeds_uint8_server(tmp_path):
+    import cv2
+
+    from eco_tpu.apps import UInt8Server
+    from eco_tpu.data import TransformConfig, VideoDataConfig, VideoPipeline
+
+    d = tmp_path / "v0"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for f in range(12):
+        cv2.imwrite(str(d / ("img_%04d.jpg" % (f + 1))),
+                    rng.integers(0, 255, (64, 80, 3), dtype=np.uint8))
+    lst = tmp_path / "l.txt"
+    lst.write_text(f"{d} 12 1\n")
+    S, crop = 2, 32
+    cfg = VideoDataConfig(
+        source=str(lst), batch_size=2, num_segments=S, new_height=64,
+        new_width=80, raw=True,
+        transform=TransformConfig(crop_size=crop, more_fix_crop=True),
+    )
+    pipe = VideoPipeline(cfg, train=True, seed=0, num_workers=1)
+    try:
+        b = pipe.next_batch()
+    finally:
+        pipe.close()
+    assert b["data"].dtype == np.uint8 and b["data"].shape == (2, S, 64, 80, 3)
+    assert b["h_off"].shape == (2,) and b["mirror"].dtype == bool
+
+    g = _tiny_video_model(S=S, crop=crop)
+    prog = Program(g, train=False)
+    params, state = prog.init(
+        jax.random.PRNGKey(0), {"data": jnp.zeros((1, S, crop, crop, 3))}
+    )
+    server = UInt8Server(prog, params, state, crop=crop, interpret=True)
+    probs = server(
+        jnp.asarray(b["data"]), h_off=jnp.asarray(b["h_off"]),
+        w_off=jnp.asarray(b["w_off"]), mirror=jnp.asarray(b["mirror"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(probs, np.float32).sum(-1), 1.0, atol=1e-3
+    )

@@ -377,3 +377,31 @@ def test_lrn_and_activation_layers():
     got = np.moveaxis(np.asarray(lrn(data, local_size=3, alpha=0.5, beta=0.75)), -1, 1)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
     assert np.all(np.asarray(outs["abs"]) >= 0)
+
+
+def test_split_and_state_rules():
+    text = '''
+    name: "rules"
+    input: "data"
+    input_dim: 2 input_dim: 4
+    layer { name: "split" type: "Split" bottom: "data" top: "a" top: "b" }
+    layer { name: "fca" type: "InnerProduct" bottom: "a" top: "fca"
+      inner_product_param { num_output: 3 } }
+    layer { name: "dbg" type: "InnerProduct" bottom: "b" top: "dbg"
+      inner_product_param { num_output: 2 }
+      include { phase: TEST stage: "debug" min_level: 1 } }
+    '''
+    g = graph_from_prototxt(text)
+    # without the stage, the staged layer is filtered out
+    base = g.filtered("test")
+    assert not any(l.name == "dbg" for l in base.layers)
+    staged = g.filtered("test", stages=("debug",), level=1)
+    assert any(l.name == "dbg" for l in staged.layers)
+    assert not any(
+        l.name == "dbg" for l in g.filtered("test", stages=("debug",), level=0).layers
+    )
+    prog = Program(g, train=False)
+    data = jnp.ones((2, 4))
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    outs, _ = prog.apply(params, state, {"data": data})
+    assert outs["fca"].shape == (2, 3)
