@@ -10,7 +10,6 @@ frame for the video-level prediction.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
 
 import numpy as np
 import jax

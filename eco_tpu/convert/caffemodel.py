@@ -15,7 +15,6 @@ Handles packed and unpacked repeated floats; returns numpy arrays.
 
 from __future__ import annotations
 
-import struct
 from typing import Iterator
 
 import numpy as np

@@ -10,7 +10,7 @@ HDF5 *output* (the reference's HDF5Output layer) is :func:`save_hdf5`.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Sequence
+from typing import Iterator, Sequence
 
 import numpy as np
 

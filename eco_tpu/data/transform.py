@@ -23,7 +23,7 @@ Inception-style random area/aspect cropping for original images
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence
 
 import numpy as np

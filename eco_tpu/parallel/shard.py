@@ -18,10 +18,9 @@ the reference's Gather "model-parallel section" (gather_layer.cpp).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Mapping, Optional
+from typing import Any, Mapping
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from eco_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated

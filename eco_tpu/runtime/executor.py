@@ -22,9 +22,8 @@ dedicated fold/unfold/consensus ops which are free reshapes.
 from __future__ import annotations
 
 import zlib
-from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Callable, Mapping, Optional, Sequence
+from dataclasses import dataclass
+from typing import Any, Mapping, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Mapping, Optional
+from typing import Mapping
 
 import numpy as np
 import jax

@@ -29,8 +29,8 @@ channel.cpp) is emitted by XLA's latency-hiding scheduler over ICI.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Mapping, Optional, Sequence
+from dataclasses import dataclass
+from typing import Any, Mapping, Optional
 
 import jax
 import jax.numpy as jnp
@@ -186,7 +186,6 @@ def make_train_step(program, cfg: SolverConfig, *, remat: Optional[str] = None):
                 raise ValueError(f"unknown solver_type {cfg.solver_type!r}")
             return w - u, h_new
 
-        flat_updates = {}
         new_params, new_history = {}, {}
         for lname, lp in ts.params.items():
             new_params[lname], new_history[lname] = {}, {}

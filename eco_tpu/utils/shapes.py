@@ -11,7 +11,6 @@ only static shapes.
 from __future__ import annotations
 
 import math
-from typing import Sequence
 
 
 def normalize_spatial_param(value, num_spatial: int, default=0):
