@@ -405,3 +405,44 @@ def test_split_and_state_rules():
     params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
     outs, _ = prog.apply(params, state, {"data": data})
     assert outs["fca"].shape == (2, 3)
+
+
+def test_prototxt_parser_edge_cases():
+    d = parse_prototxt(
+        '''
+        # full-line comment
+        name: "edge\\"case"  # trailing comment
+        input: "data"
+        input_dim: 1 input_dim: 3 input_dim: 8 input_dim: 8
+        layer {
+          name: "p" type: "Power" bottom: "data" top: "p"
+          power_param { power: -0.5 scale: 1e-3 shift: 2.5e+1 }
+        }
+        '''
+    )
+    assert d["layer"]["power_param"]["power"] == -0.5
+    assert d["layer"]["power_param"]["scale"] == 1e-3
+    assert d["layer"]["power_param"]["shift"] == 25.0
+    g = graph_from_prototxt(
+        'name: "x"\ninput: "data"\ninput_dim: 1 input_dim: 3 '
+        'input_dim: 8 input_dim: 8\n'
+        'layer { name: "c" type: "Convolution" bottom: "data" top: "c"\n'
+        '  convolution_param { num_output: 2 kernel_size: 3 dilation: 2 } }\n'
+    )
+    assert g.layer("c").opt("dilation") == 2
+
+
+def test_dilated_conv_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 12, 12, 3)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, 3, 4)) * 0.2).astype(np.float32)
+    from eco_tpu import ops
+
+    y = ops.conv2d(jnp.asarray(x), jnp.asarray(w), pad=2, dilation=2)
+    import torch.nn.functional as TF
+    ref = TF.conv2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        torch.from_numpy(w).permute(3, 2, 0, 1),
+        padding=2, dilation=2,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-4, atol=2e-4)

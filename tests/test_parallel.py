@@ -209,3 +209,35 @@ def test_gather_scatter_section_layers():
             )
         )
     np.testing.assert_allclose(np.asarray(local), np.asarray(out), rtol=1e-5, atol=1e-6)
+
+
+def test_syncbn_explicit_axis_name_matches_global():
+    # the explicit shard_map SyncBN path (ops/norm.py axis_name), i.e. the
+    # reference sync_bn_layer.cu semantics with per-shard equal counts
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from eco_tpu import ops
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((16, 6, 6, 4)), jnp.float32)
+    g = jnp.ones((4,)); b = jnp.zeros((4,))
+    rm = jnp.zeros((4,)); rv = jnp.ones((4,))
+
+    @jax.jit
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("data"), P(), P(), P(), P()),
+        out_specs=(P("data"), P(), P()),
+    )
+    def sync_bn(x, g, b, rm, rv):
+        return ops.bn_train(x, g, b, rm, rv, axis_name="data")
+
+    y, nm, nv = sync_bn(x, g, b, rm, rv)
+    y_ref, nm_ref, nv_ref = ops.bn_train(x, g, b, rm, rv)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nm), np.asarray(nm_ref), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nv), np.asarray(nv_ref), rtol=1e-4, atol=1e-6)
