@@ -62,8 +62,10 @@ def bench(batch: int = 64, num_segments: int = 16, iters: int = 10, warmup: int 
 def main():
     import os
 
+    # batch 96 is the measured sweet spot on v5e (1184 v/s vs 1151 @ 64,
+    # 1161 @ 128); override with ECO_BENCH_BATCHES=a,b,...
     batches = tuple(
-        int(b) for b in os.environ.get("ECO_BENCH_BATCHES", "64").split(",")
+        int(b) for b in os.environ.get("ECO_BENCH_BATCHES", "96").split(",")
     )
     best = 0.0
     errors = []
