@@ -42,13 +42,19 @@ def _fields(buf: memoryview) -> Iterator[tuple[int, int, object]]:
         if wt == 0:  # varint
             val, pos = _read_varint(buf, pos)
         elif wt == 1:  # 64-bit
+            if pos + 8 > n:
+                raise ValueError("truncated protobuf message (64-bit field)")
             val = bytes(buf[pos:pos + 8])
             pos += 8
         elif wt == 2:  # length-delimited
             ln, pos = _read_varint(buf, pos)
+            if pos + ln > n:
+                raise ValueError("truncated protobuf message (length field)")
             val = buf[pos:pos + ln]
             pos += ln
         elif wt == 5:  # 32-bit
+            if pos + 4 > n:
+                raise ValueError("truncated protobuf message (32-bit field)")
             val = bytes(buf[pos:pos + 4])
             pos += 4
         else:

@@ -297,3 +297,18 @@ def test_raw_pipeline_feeds_uint8_server(tmp_path):
     np.testing.assert_allclose(
         np.asarray(probs, np.float32).sum(-1), 1.0, atol=1e-3
     )
+
+
+def test_memory_analysis_and_trace(tmp_path):
+    from eco_tpu.runtime.profiler import memory_analysis, trace
+
+    g = _tiny_video_model(S=2, crop=16)
+    prog = Program(g, train=False)
+    data = jnp.zeros((1, 2, 16, 16, 3))
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    fwd = jax.jit(lambda p, s, d: prog.apply(p, s, {"data": d})[0]["probs"])
+    stats = memory_analysis(fwd, params, state, data)
+    assert stats.get("argument_size_in_bytes", 0) > 0
+    with trace(str(tmp_path / "tb")):
+        np.asarray(fwd(params, state, data))
+    assert os.path.isdir(str(tmp_path / "tb"))

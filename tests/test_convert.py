@@ -446,3 +446,21 @@ def test_dilated_conv_matches_torch():
         padding=2, dilation=2,
     ).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_caffemodel_truncated_and_garbage(tmp_path):
+    # truncated file -> clean python exception, not a hang/crash
+    w = np.arange(6, dtype=np.float32)
+    good = _make_caffemodel([("c", "Convolution", [w])])
+    bad = tmp_path / "trunc.caffemodel"
+    bad.write_bytes(good[: len(good) // 2])
+    with pytest.raises((ValueError, IndexError)):
+        load_caffemodel(str(bad))
+    # a blob whose data length disagrees with its shape
+    junk = tmp_path / "shape.caffemodel"
+    msg = _ld(1, b"c") + _ld(2, b"Convolution") + _ld(
+        7, _ld(7, _tag(1, 0) + _varint(99)) + _ld(5, w.tobytes())
+    )
+    junk.write_bytes(_ld(100, msg))
+    with pytest.raises(ValueError, match="blob data size"):
+        load_caffemodel(str(junk))
