@@ -30,6 +30,12 @@ for _ds, (_nc, _lfc, _ffc, _ldr, _fdr) in DATASETS.items():
     )
 
 
+from eco_tpu.models.c3d_resnet18 import build_c3d_resnet18
+
+REGISTRY["c3d_resnet18_kinetics"] = partial(build_c3d_resnet18, num_classes=400)
+REGISTRY["c3d_resnet18_ucf101"] = partial(build_c3d_resnet18, num_classes=101)
+
+
 def get_model(name: str, **overrides):
     """Build a zoo model; overrides pass through to the builder
     (num_segments, batch, with_loss, ...)."""

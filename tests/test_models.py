@@ -96,7 +96,7 @@ def test_num_segments_retargeting():
 
 
 def test_zoo_registry():
-    assert len(get_model.__globals__["REGISTRY"]) == 8
+    assert len(get_model.__globals__["REGISTRY"]) == 10  # 8 ECO + 2 C3D
     g = get_model("eco_lite_ucf101", num_segments=4, batch=1)
     assert g.layer("fc8u").opt("num_output") == 101
 
@@ -129,3 +129,45 @@ def test_jit_and_grad_through_program():
         )
     )
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_c3d_resnet18_structural_parity_with_prototxt():
+    # native builder vs the imported reference prototxt: identical param
+    # shapes for every shared layer name (the transfer-init contract)
+    import os
+
+    from eco_tpu.models.c3d_resnet18 import build_c3d_resnet18
+
+    g = build_c3d_resnet18(num_classes=400, batch=1)
+    prog = Program(g, train=False)
+    data = jnp.zeros((1, 16, 112, 112, 3), jnp.float32)
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    assert params["conv1"]["w"].shape == (3, 7, 7, 3, 64)
+    assert params["res5b_2"]["w"].shape == (3, 3, 3, 512, 512)
+    outs, _ = prog.apply(params, state, {"data": data})
+    assert outs["probs"].shape == (1, 400)
+
+    ref = ("/root/reference/models_ECO_Lite/kinetics/"
+           "112_c3d_resnet18_kinetics_rgb_pretrained/"
+           "112_c3d_resnet_18_train_val.prototxt")
+    if not os.path.exists(ref):
+        pytest.skip("reference not mounted")
+    from eco_tpu.spec.prototxt import graph_from_prototxt
+
+    gi = graph_from_prototxt(open(ref).read())
+    pi = Program(gi, train=False)
+    label = jnp.zeros((1,), jnp.int32)
+    params_i, state_i = pi.init(
+        jax.random.PRNGKey(0), {"data": data, "label": label}
+    )
+    shared = set(params) & set(params_i)
+    assert len(shared) >= 18  # all convs + fc
+    for lname in shared:
+        for pname in params[lname]:
+            assert params[lname][pname].shape == params_i[lname][pname].shape, (
+                lname, pname,
+                params[lname][pname].shape, params_i[lname][pname].shape,
+            )
+    # BN stats too
+    for lname in set(state) & set(state_i):
+        assert state[lname]["mean"].shape == state_i[lname]["mean"].shape
