@@ -33,12 +33,14 @@ def shard_batch(mesh: Mesh, batch: Mapping[str, Any], *, batch_axis: int = 0):
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 
-def make_sharded_train_step(program, cfg: SolverConfig, mesh: Mesh):
+def make_sharded_train_step(program, cfg: SolverConfig, mesh: Mesh,
+                            *, remat=None):
     """pjit'd train step: params/opt-state replicated, batch data-sharded.
 
     Batch layout: {name: (iter_size, N, ...)} with N sharded over ``data``.
+    ``remat``: rematerialization policy name (eco_tpu.runtime.memory).
     """
-    step = make_train_step(program, cfg)
+    step = make_train_step(program, cfg, remat=remat)
     rep = replicated(mesh)
     batch_sh = NamedSharding(mesh, P(None, DATA_AXIS))
 

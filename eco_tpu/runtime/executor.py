@@ -571,6 +571,15 @@ class Program:
             for l in self.exec_layers
             if "loss" in l.type.lower() and l.tops
         ]
+        # Cross-layer param sharing (LayerParameter.param name -> shared blob,
+        # net.cpp param ownership): {layer: {param_index: shared_name}}.
+        # The first layer in execution order naming a blob owns it; later
+        # layers alias the owner's array instead of creating their own.
+        self._shared_specs = {
+            l.name: {i: ps.name for i, ps in enumerate(l.params) if ps.name}
+            for l in self.exec_layers
+            if any(ps.name for ps in l.params)
+        }
 
     # -- initialization ----------------------------------------------------
 
@@ -586,15 +595,31 @@ class Program:
         params: dict = {}
         state: dict = {}
         ctx = Context(train=False, rng=None)
+        shared_owner: dict[str, Any] = {}  # shared name -> owner's array
         for layer in self.exec_layers:
             impl = get_impl(layer.type)
             in_structs = [blobs[b] for b in layer.bottoms]
             in_shapes = [s.shape for s in in_structs]
             pspecs = impl.param_specs(layer, in_shapes)
-            lp = {}
+            snames = self._shared_specs.get(layer.name, {})
+            lp = {}       # owned params (stored in the tree)
+            lp_exec = {}  # owned + aliased (what apply will see)
             for i, (pname, (shape, dtype, filler)) in enumerate(pspecs.items()):
+                sname = snames.get(i)
+                if sname is not None and sname in shared_owner:
+                    owner = shared_owner[sname]
+                    if tuple(jnp.shape(owner)) != tuple(shape):
+                        raise ValueError(
+                            f"layer {layer.name!r} shares param {sname!r} with "
+                            f"shape {shape}, owner has {jnp.shape(owner)}"
+                        )
+                    lp_exec[pname] = owner
+                    continue
                 sub = jax.random.fold_in(rng, zlib.crc32(f"{layer.name}/{pname}".encode()))
-                lp[pname] = fill(sub, shape, dtype, filler)
+                arr = fill(sub, shape, dtype, filler)
+                lp[pname] = lp_exec[pname] = arr
+                if sname is not None:
+                    shared_owner[sname] = arr
             if lp:
                 params[layer.name] = lp
             sspecs = impl.state_specs(layer, in_shapes)
@@ -605,8 +630,8 @@ class Program:
             if ls:
                 state[layer.name] = ls
 
-            def shape_fn(*xs):
-                outs, _ = impl.apply(layer, lp, ls, list(xs), ctx)
+            def shape_fn(*xs, impl=impl, layer=layer, lp_exec=lp_exec, ls=ls):
+                outs, _ = impl.apply(layer, lp_exec, ls, list(xs), ctx)
                 return outs
 
             out_structs = jax.eval_shape(shape_fn, *in_structs)
@@ -652,11 +677,34 @@ class Program:
                 v = v.astype(self.compute_dtype)
             blobs[k] = v
         new_state = dict(state)
+        shared_owner: dict[str, Any] = {}  # shared name -> owner array (live)
         for layer in self.exec_layers:
             impl = get_impl(layer.type)
             ins = [blobs[b] for b in layer.bottoms]
+            lp = params.get(layer.name, {})
+            snames = self._shared_specs.get(layer.name)
+            if snames:
+                # Resolve cross-layer shared params: align param index ->
+                # key via param_specs on the (concrete) input shapes, then
+                # alias missing entries to the owner's live array so autodiff
+                # accumulates gradients onto the single owned blob.
+                pspecs = impl.param_specs(layer, [jnp.shape(x) for x in ins])
+                lp = dict(lp)
+                for i, pname in enumerate(pspecs):
+                    sname = snames.get(i)
+                    if sname is None:
+                        continue
+                    if pname in lp:
+                        shared_owner.setdefault(sname, lp[pname])
+                    elif sname in shared_owner:
+                        lp[pname] = shared_owner[sname]
+                    else:
+                        raise ValueError(
+                            f"layer {layer.name!r} shares param {sname!r} "
+                            "but no owner layer provided it"
+                        )
             outs, st = impl.apply(
-                layer, params.get(layer.name, {}), state.get(layer.name, {}), ins, ctx
+                layer, lp, state.get(layer.name, {}), ins, ctx
             )
             if st:
                 new_state[layer.name] = st

@@ -125,3 +125,72 @@ class GraphSpec:
                     )
             for t in l.tops:
                 available.add(t)
+
+
+def graph_to_json(graph: GraphSpec) -> str:
+    """Serialize a GraphSpec to JSON -- used to persist transformed graphs
+    (e.g. the BN-folded inference graph, which has no prototxt source)."""
+    import json
+
+    def layer_dict(l: LayerSpec) -> dict:
+        d = {
+            "name": l.name,
+            "type": l.type,
+            "bottoms": list(l.bottoms),
+            "tops": list(l.tops),
+            "options": _jsonable(l.options),
+        }
+        if l.phase is not None:
+            d["phase"] = l.phase
+        if l.params:
+            d["params"] = [
+                {"lr_mult": p.lr_mult, "decay_mult": p.decay_mult,
+                 **({"name": p.name} if p.name else {})}
+                for p in l.params
+            ]
+        return d
+
+    return json.dumps(
+        {
+            "format": "eco_tpu.graphspec.v1",
+            "name": graph.name,
+            "inputs": {k: list(v) for k, v in graph.inputs.items()},
+            "options": _jsonable(graph.options),
+            "layers": [layer_dict(l) for l in graph.layers],
+        },
+        indent=1,
+    )
+
+
+def _jsonable(v):
+    if isinstance(v, Mapping):
+        return {k: _jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    return v
+
+
+def graph_from_json(text: str) -> GraphSpec:
+    import json
+
+    d = json.loads(text)
+    if d.get("format") != "eco_tpu.graphspec.v1":
+        raise ValueError(f"not a GraphSpec JSON artifact: {d.get('format')!r}")
+    layers = [
+        LayerSpec(
+            name=l["name"],
+            type=l["type"],
+            bottoms=tuple(l.get("bottoms", ())),
+            tops=tuple(l.get("tops", ())),
+            options=l.get("options", {}),
+            phase=l.get("phase"),
+            params=tuple(ParamSpec(**p) for p in l.get("params", ())),
+        )
+        for l in d["layers"]
+    ]
+    return GraphSpec(
+        name=d.get("name", ""),
+        inputs={k: tuple(v) for k, v in d.get("inputs", {}).items()},
+        layers=layers,
+        options=d.get("options", {}),
+    )

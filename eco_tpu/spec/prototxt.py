@@ -153,14 +153,17 @@ def _phase_of(layer: dict):
     preserved verbatim in options['state_rules'] by _lower_layer and checked
     by GraphSpec.filtered when a NetState is supplied.
     """
-    for rule, result in (("include", "match"), ("exclude", "invert")):
-        for inc in _as_list(layer.get(rule)):
-            ph = inc.get("phase")
-            if ph is not None:
-                ph = str(ph).lower()
-                if rule == "include":
-                    return ph
-                return "test" if ph == "train" else "train"
+    for rule, invert in (("include", False), ("exclude", True)):
+        phases = {
+            str(r["phase"]).lower()
+            for r in _as_list(layer.get(rule))
+            if isinstance(r, dict) and r.get("phase") is not None
+        }
+        if len(phases) >= 2:
+            return None  # rules cover both phases -> no single-phase tag
+        if phases:
+            ph = next(iter(phases))
+            return ("test" if ph == "train" else "train") if invert else ph
     return None
 
 
@@ -232,10 +235,10 @@ def _lower_layer(layer: dict) -> LayerSpec:
         opts["dims"] = tuple(_as_list(opts.pop("shape").get("dim")))
     if ltype == "Permute" and "order" in opts:
         opts["order"] = tuple(_as_list(opts["order"]))
-    if ltype == "SoftmaxWithLoss":
-        # loss_param + top-level loss_weight
-        if "loss_weight" in layer:
-            opts["loss_weight"] = layer["loss_weight"]
+    if "loss_weight" in layer:
+        # top-level loss_weight applies to any loss-type layer
+        # (SoftmaxWithLoss, EuclideanLoss, ...); Program.total_loss reads it
+        opts["loss_weight"] = layer["loss_weight"]
     if ltype == "Accuracy" and "accuracy_param" in layer:
         opts.update(layer["accuracy_param"])
     if ltype == "VideoData":
@@ -245,7 +248,9 @@ def _lower_layer(layer: dict) -> LayerSpec:
     rules = {}
     for key in ("include", "exclude"):
         rl = [r for r in _as_list(layer.get(key)) if isinstance(r, dict)]
-        if any(set(r) - {"phase"} for r in rl):
+        # multi-rule phase sets (e.g. exclude both phases) are lossy as a
+        # single phase tag -- keep the full rules for GraphSpec.filtered
+        if any(set(r) - {"phase"} for r in rl) or len(rl) > 1:
             rules[key] = rl
     if rules:
         opts["state_rules"] = rules

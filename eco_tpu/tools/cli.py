@@ -34,6 +34,10 @@ def _build_graph(args, *, with_loss: bool):
             batch=args.batch,
         )
     if getattr(args, "net", None):
+        if args.net.endswith(".json"):  # persisted GraphSpec (e.g. eco fold)
+            from eco_tpu.spec.graph import graph_from_json
+
+            return graph_from_json(open(args.net).read())
         return graph_from_prototxt(open(args.net).read())
     raise SystemExit("need --zoo or --net")
 
@@ -254,7 +258,16 @@ def cmd_fold(args):
     params, state = load_model(args.weights)
     fg, fp, fs = fold_bn(graph, params, state)
     save_model(args.output, fp, fs)
-    print(f"Folded model -> {args.output} ({len(fg.layers)} layers)")
+    # The folded weights only make sense against the folded graph (BN layers
+    # removed, conv biases injected) -- persist it alongside, loadable via
+    # --net <...>.graph.json (gen_bn_inference.py emits *_inference.prototxt).
+    graph_path = os.path.splitext(args.output)[0] + ".graph.json"
+    from eco_tpu.spec.graph import graph_to_json
+
+    with open(graph_path, "w") as f:
+        f.write(graph_to_json(fg))
+    print(f"Folded model -> {args.output} + {graph_path} "
+          f"({len(fg.layers)} layers)")
 
 
 def cmd_online(args):

@@ -26,10 +26,20 @@ import numpy as np
 import jax.numpy as jnp
 
 
+def _esc(name: str) -> str:
+    """Escape the key separator: Caffe layer names may contain '/'
+    (e.g. 'conv1/7x7_s2' in stock BN-Inception prototxts)."""
+    return name.replace("%", "%25").replace("/", "%2F")
+
+
+def _unesc(name: str) -> str:
+    return name.replace("%2F", "/").replace("%25", "%")
+
+
 def _flatten(tree: Mapping, prefix: str = "") -> dict[str, np.ndarray]:
     out = {}
     for k, v in tree.items():
-        key = f"{prefix}{k}"
+        key = f"{prefix}{_esc(k)}"
         if isinstance(v, Mapping):
             out.update(_flatten(v, key + "/"))
         else:
@@ -40,7 +50,7 @@ def _flatten(tree: Mapping, prefix: str = "") -> dict[str, np.ndarray]:
 def _unflatten(flat: Mapping[str, np.ndarray]) -> dict:
     tree: dict = {}
     for key, v in flat.items():
-        parts = key.split("/")
+        parts = [_unesc(p) for p in key.split("/")]
         node = tree
         for p in parts[:-1]:
             node = node.setdefault(p, {})

@@ -45,7 +45,9 @@ def solver_config_from_prototxt(text: str) -> SolverConfig:
         stepvalues=tuple(int(s) for s in stepvalues),
         power=float(d.get("power", 1.0)),
         max_iter=int(d.get("max_iter", 10000)),
-        momentum=float(d.get("momentum", 0.9)),
+        # SolverParameter's momentum default is 0 (caffe.proto); ECO's shipped
+        # solvers all set it explicitly.
+        momentum=float(d.get("momentum", 0.0)),
         weight_decay=float(d.get("weight_decay", 0.0)),
         regularization_type=str(d.get("regularization_type", "L2")),
         clip_gradients=float(d.get("clip_gradients", -1)),
@@ -77,11 +79,21 @@ class Trainer:
         test_program=None,
         step_fn: Optional[Callable] = None,
         log_fn: Callable[[str], None] = print,
+        remat: Optional[str] = "auto",
     ):
         self.cfg = cfg
         self.train_program = train_program
         self.test_program = test_program
-        self.step = step_fn or jax.jit(make_train_step(train_program, cfg))
+        if remat == "auto":
+            # mem_param { optimize_train: true } in the graph -> remat
+            # (the reference's activation-memory optimizer, net.cpp:1080-1277)
+            from eco_tpu.runtime.memory import remat_policy_from_graph
+
+            remat = remat_policy_from_graph(train_program.graph)
+        self.remat = remat
+        self.step = step_fn or jax.jit(
+            make_train_step(train_program, cfg, remat=remat)
+        )
         self.eval_step = (
             jax.jit(make_eval_step(test_program)) if test_program is not None else None
         )

@@ -94,6 +94,16 @@ def torch_execute(program, params, state, data_nchw: dict):
                 out = out + y
         elif t == "concat":
             out = torch.cat(ins, dim=1)
+        elif t == "reshape":
+            from eco_tpu.ops import caffe_reshape_dims
+
+            dims = caffe_reshape_dims(
+                tuple(ins[0].shape), l.opt("dims"),
+                axis=int(l.opt("axis", 0)), num_axes=int(l.opt("num_axes", -1)),
+            )
+            out = ins[0].reshape(dims)
+        elif t in ("identity", "split"):
+            out = ins[0]
         elif t == "dropout":
             out = ins[0]  # eval
         elif t == "softmax":

@@ -1,0 +1,240 @@
+"""Regression tests for advisor findings (round 1 ADVICE.md).
+
+Each test pins one previously-silent failure mode:
+- checkpoint flat-key codec vs '/' in Caffe layer names
+- folded graph persisted + loadable alongside folded weights
+- cross-layer param sharing (LayerParameter.param name, net.cpp ownership)
+- SolverParameter momentum default (0, not 0.9)
+- loss_weight honored on non-softmax loss layers; include rules covering
+  both phases keep the layer in both
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eco_tpu.runtime import Program
+from eco_tpu.spec.graph import GraphSpec, LayerSpec, ParamSpec
+from eco_tpu.train.checkpoint import load_model, restore_weights, save_model
+
+
+def test_checkpoint_roundtrip_slash_in_layer_name(tmp_path):
+    # stock BN-Inception prototxts use names like 'conv1/7x7_s2'
+    params = {"conv1/7x7_s2": {"w": np.arange(6.0).reshape(2, 3)},
+              "plain": {"b": np.zeros(4)}}
+    state = {"conv1/7x7_s2/bn": {"mean": np.ones(3)}}
+    path = str(tmp_path / "m.model.npz")
+    save_model(path, params, state)
+    p2, s2 = load_model(path)
+    assert set(p2) == set(params)
+    assert set(s2) == set(state)
+    np.testing.assert_array_equal(p2["conv1/7x7_s2"]["w"], params["conv1/7x7_s2"]["w"])
+    np.testing.assert_array_equal(s2["conv1/7x7_s2/bn"]["mean"], np.ones(3))
+    # restore_weights matches the slashed name too
+    got, _, loaded = restore_weights(path, params, state)
+    assert "conv1/7x7_s2" in loaded
+
+
+def test_fold_cli_persists_graph_json(tmp_path):
+    from eco_tpu.spec.graph import graph_from_json
+    from eco_tpu.tools.cli import main
+
+    # tiny conv+bn net via prototxt
+    net = tmp_path / "net.prototxt"
+    net.write_text("""
+name: "t"
+input: "data"
+input_dim: 1 input_dim: 3 input_dim: 8 input_dim: 8
+layer { name: "c" type: "Convolution" bottom: "data" top: "c"
+  convolution_param { num_output: 4 kernel_size: 3 pad: 1 } }
+layer { name: "c_bn" type: "BN" bottom: "c" top: "c_bn"
+  bn_param { frozen: true } }
+layer { name: "relu" type: "ReLU" bottom: "c_bn" top: "c_bn" }
+""")
+    from eco_tpu.spec.prototxt import graph_from_prototxt
+
+    graph = graph_from_prototxt(net.read_text())
+    prog = Program(graph, train=False)
+    data = jnp.asarray(np.random.default_rng(0).standard_normal((1, 3, 8, 8)))
+    # graph inputs are logical NCHW; Program handles the layout internally
+    sample = {"data": jnp.zeros(graph.inputs["data"], jnp.float32)}
+    params, state = prog.init(jax.random.PRNGKey(0), sample)
+    # give BN non-trivial stats so folding actually changes weights
+    state["c_bn"]["mean"] = jnp.asarray(np.random.default_rng(1).standard_normal(4), jnp.float32)
+    state["c_bn"]["var"] = jnp.asarray(np.abs(np.random.default_rng(2).standard_normal(4)) + 0.5, jnp.float32)
+    wpath = str(tmp_path / "w.model.npz")
+    save_model(wpath, params, state)
+
+    out = str(tmp_path / "folded.model.npz")
+    main(["fold", "--net", str(net), "--weights", wpath, "-o", out])
+    gpath = str(tmp_path / "folded.model.graph.json")
+    fg = graph_from_json(open(gpath).read())
+    assert all(l.type != "bn" for l in fg.layers)
+
+    # folded graph + weights reproduce the original outputs
+    fp, fs = load_model(out)
+    fprog = Program(fg, train=False)
+    ref, _ = prog.apply(params, state, {"data": sample["data"] + 1.0})
+    got, _ = fprog.apply(fp, fs, {"data": sample["data"] + 1.0})
+    (ref_out,), (got_out,) = ref.values(), got.values()
+    np.testing.assert_allclose(
+        np.asarray(ref_out), np.asarray(got_out), atol=1e-5
+    )
+    # the persisted json round-trips through the CLI graph loader
+    from eco_tpu.tools.cli import _build_graph
+
+    class A:
+        zoo = None
+        net = gpath
+
+    g2 = _build_graph(A(), with_loss=False)
+    assert [l.name for l in g2.layers] == [l.name for l in fg.layers]
+
+
+def _shared_ip_graph():
+    return GraphSpec(
+        name="shared",
+        inputs={"a": (2, 6), "b": (2, 6)},
+        layers=[
+            LayerSpec("ip1", "innerproduct", ("a",), ("y1",),
+                      {"num_output": 3},
+                      params=(ParamSpec(name="shared_w"), ParamSpec())),
+            LayerSpec("ip2", "innerproduct", ("b",), ("y2",),
+                      {"num_output": 3},
+                      params=(ParamSpec(name="shared_w"), ParamSpec())),
+        ],
+    )
+
+
+def test_param_sharing_aliases_owner():
+    g = _shared_ip_graph()
+    prog = Program(g, train=False)
+    rng = np.random.default_rng(0)
+    ins = {"a": jnp.asarray(rng.standard_normal((2, 6)), jnp.float32),
+           "b": jnp.asarray(rng.standard_normal((2, 6)), jnp.float32)}
+    params, state = prog.init(jax.random.PRNGKey(0), ins)
+    # only the owner stores the shared weight
+    assert "w" in params["ip1"] and "w" not in params["ip2"]
+    outs, _ = prog.apply(params, state, ins)
+    # ip2 used ip1's weight: same input -> same output
+    same = {"a": ins["a"], "b": ins["a"]}
+    o2, _ = prog.apply(params, state, same)
+    np.testing.assert_allclose(np.asarray(o2["y1"]), np.asarray(o2["y2"]), rtol=1e-6)
+
+    # gradients from both consumers accumulate on the single owned blob
+    def loss(p):
+        o, _ = prog.apply(p, state, ins)
+        return jnp.sum(o["y1"]) + jnp.sum(o["y2"])
+
+    gr = jax.grad(loss)(params)
+    expect = (jnp.sum(ins["a"], 0) + jnp.sum(ins["b"], 0))[:, None] * jnp.ones((1, 3))
+    np.testing.assert_allclose(np.asarray(gr["ip1"]["w"]), np.asarray(expect), rtol=1e-5)
+
+
+def test_param_sharing_shape_mismatch_raises():
+    import pytest
+
+    g = GraphSpec(
+        name="bad",
+        inputs={"a": (2, 6), "b": (2, 4)},
+        layers=[
+            LayerSpec("ip1", "innerproduct", ("a",), ("y1",),
+                      {"num_output": 3}, params=(ParamSpec(name="sw"),)),
+            LayerSpec("ip2", "innerproduct", ("b",), ("y2",),
+                      {"num_output": 3}, params=(ParamSpec(name="sw"),)),
+        ],
+    )
+    prog = Program(g, train=False)
+    with pytest.raises(ValueError, match="shares param"):
+        prog.init(jax.random.PRNGKey(0),
+                  {"a": jnp.zeros((2, 6)), "b": jnp.zeros((2, 4))})
+
+
+def test_solver_momentum_defaults_to_zero():
+    from eco_tpu.train.loop import solver_config_from_prototxt
+
+    cfg = solver_config_from_prototxt("base_lr: 0.01\nlr_policy: \"fixed\"\n")
+    assert cfg.momentum == 0.0
+    cfg2 = solver_config_from_prototxt("base_lr: 0.01\nmomentum: 0.9\n")
+    assert cfg2.momentum == 0.9
+
+
+def test_loss_weight_on_euclidean_loss():
+    from eco_tpu.spec.prototxt import graph_from_prototxt
+
+    g = graph_from_prototxt("""
+name: "t"
+input: "x"  input_dim: 2 input_dim: 3
+input: "t"  input_dim: 2 input_dim: 3
+layer { name: "l" type: "EuclideanLoss" bottom: "x" bottom: "t" top: "l"
+  loss_weight: 0.25 }
+""")
+    prog = Program(g, train=True)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 3)), jnp.float32)
+    t = jnp.zeros((2, 3), jnp.float32)
+    params, state = prog.init(jax.random.PRNGKey(0), {"x": x, "t": t})
+    outs, _ = prog.apply(params, state, {"x": x, "t": t})
+    total = prog.total_loss(outs)
+    np.testing.assert_allclose(
+        float(total), 0.25 * float(outs["l"]), rtol=1e-6
+    )
+    assert float(outs["l"]) > 0
+
+
+def test_include_rules_covering_both_phases():
+    from eco_tpu.spec.prototxt import graph_from_prototxt
+
+    g = graph_from_prototxt("""
+name: "t"
+input: "x"  input_dim: 2 input_dim: 3
+layer { name: "s" type: "Softmax" bottom: "x" top: "s"
+  include { phase: TRAIN } include { phase: TEST } }
+layer { name: "only_train" type: "AbsVal" bottom: "x" top: "a"
+  include { phase: TRAIN } }
+""")
+    train_names = [l.name for l in g.filtered("train").layers]
+    test_names = [l.name for l in g.filtered("test").layers]
+    assert "s" in train_names and "s" in test_names
+    assert "only_train" in train_names and "only_train" not in test_names
+
+
+def test_mem_param_wires_remat_into_trainer():
+    """mem_param { optimize_train: true } must actually change the compiled
+    training step (VERDICT r1 #6): Trainer auto-picks the 'dots' policy and
+    the remat'd step still computes the same update.  (The temp-memory
+    reduction itself is TPU-specific -- XLA:CPU schedules remat differently
+    -- and is reported by ``python -m eco_tpu.tools.memreport`` on the chip.)
+    """
+    from eco_tpu.models import build_eco_lite
+    from eco_tpu.train.loop import Trainer
+    from eco_tpu.train.solver import SolverConfig, init_train_state
+
+    g = build_eco_lite(num_classes=5, num_segments=4, crop_size=32,
+                       with_loss=True, batch=4)
+    g.options["mem_param"] = {"optimize_train": True}
+    prog = Program(g, train=True)
+    cfg = SolverConfig(iter_size=1, solver_type="sgd", clip_gradients=-1)
+
+    trainer = Trainer(prog, cfg)
+    assert trainer.remat == "dots"
+    plain = Trainer(Program(build_eco_lite(
+        num_classes=5, num_segments=4, crop_size=32, with_loss=True, batch=4,
+    ), train=True), cfg)
+    assert plain.remat is None
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "data": jnp.asarray(
+            rng.standard_normal((1, 4, 4, 32, 32, 3)), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 5, (1, 4))),
+    }
+    params, state = prog.init(
+        jax.random.PRNGKey(0), {k: v[0] for k, v in batch.items()})
+    key = jax.random.PRNGKey(1)
+    ts1, m1 = trainer.step(init_train_state(params, state), batch, key)
+    ts2, m2 = plain.step(init_train_state(params, state), batch, key)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ts1.params["fc8"]["w"]), np.asarray(ts2.params["fc8"]["w"]),
+        rtol=1e-4, atol=1e-6,
+    )
