@@ -1,29 +1,48 @@
-"""Headline benchmark: ECO-Lite 16-segment inference throughput on one chip.
+"""Headline benchmarks on one chip -- every README perf claim, one JSON line.
+
+Primary metric: ECO-Lite 16-segment inference throughput (videos/s) vs the
+reference's "up to 230 videos/s" single-GPU claim (reference README.md:22;
+BASELINE.md).  ``extra`` carries the other driver-captured numbers: ECO-Full
+inference, bf16 training step, and model TF/s + MFU vs the v5e bf16 peak.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "videos/s", "vs_baseline": N/230}
-
-Baseline: the reference claims "up to 230 videos/s" end-to-end online video
-understanding on a single GPU (reference README.md:22; BASELINE.md).
+  {"metric": ..., "value": N, "unit": "videos/s", "vs_baseline": N/230,
+   "extra": {...}}
 """
 
 import json
+import os
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from eco_tpu.models import get_model
-from eco_tpu.runtime import Program
-
 BASELINE_VIDEOS_PER_SEC = 230.0
+V5E_BF16_PEAK_FLOPS = 197e12  # per chip
 
 
-def bench(batch: int = 64, num_segments: int = 16, iters: int = 10, warmup: int = 2):
+def _pipelined_time(fn, args_variants, iters, warmup=2):
+    """Dispatch iters calls over rotating inputs, fetch all outputs at the
+    end.  Through the axon relay each host round-trip costs ~30 ms, so a
+    serial fetch-per-iteration under-reports device throughput; pipelining
+    overlaps the round-trips with compute (serving shape).  Cross-checked in
+    round 1 against a device-side lax.fori_loop measurement (within 5%)."""
+    for v in args_variants[:warmup]:
+        jax.block_until_ready(fn(*v))
+    t0 = time.perf_counter()
+    outs = [fn(*args_variants[i % len(args_variants)]) for i in range(iters)]
+    for o in outs:
+        jax.block_until_ready(o)
+    return (time.perf_counter() - t0) / iters
+
+
+def _infer_setup(zoo_name, batch, num_segments=16):
     from eco_tpu.convert import optimize_for_inference
+    from eco_tpu.models import get_model
+    from eco_tpu.runtime import Program
 
-    graph = get_model("eco_lite_kinetics", num_segments=num_segments, batch=batch)
+    graph = get_model(zoo_name, num_segments=num_segments, batch=batch)
     prog0 = Program(graph, train=False)
     data = jnp.asarray(
         np.random.default_rng(0).standard_normal(
@@ -40,47 +59,172 @@ def bench(batch: int = 64, num_segments: int = 16, iters: int = 10, warmup: int 
         outs, _ = prog.apply(params, state, {"data": data})
         return outs["probs"]
 
-    # Pipelined timing: dispatch `iters` distinct batches, then fetch every
-    # output.  Through the axon relay each host round-trip costs ~30 ms, so
-    # serial fetch-per-iteration under-reports device throughput; pipelining
-    # overlaps the round-trips with compute (serving shape).  Cross-checked
-    # against a device-side lax.fori_loop measurement (54.9 ms/batch-64 ==
-    # 1165 v/s, within 5% of this number).
+    return fwd, params, state, data
+
+
+def bench_infer(zoo_name, batch, iters=10, with_cost=False):
+    fwd, params, state, data = _infer_setup(zoo_name, batch)
     variants = [
         jax.block_until_ready(data + jnp.bfloat16(i * 1e-3)) for i in range(4)
     ]
-    for v in variants[:warmup]:
-        np.asarray(fwd(params, state, v))
+    dt = _pipelined_time(
+        lambda d: fwd(params, state, d), [(v,) for v in variants], iters
+    )
+    out = {"videos_per_sec": batch / dt, "step_ms": dt * 1e3, "batch": batch}
+    if with_cost:
+        try:
+            cost = jax.jit(fwd).lower(params, state, data).compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+            if flops > 0:
+                out["tflops_per_sec"] = flops / dt / 1e12
+                out["mfu_vs_v5e_bf16_peak"] = flops / dt / V5E_BF16_PEAK_FLOPS
+        except Exception as e:  # cost analysis is backend-dependent
+            out["cost_analysis_error"] = repr(e)
+    return out
+
+
+def bench_train(batch=16, num_segments=16, iters=8):
+    """bf16 ECO-Lite training step: fwd+bwd+Nesterov/clip update, b videos."""
+    from eco_tpu.models import get_model
+    from eco_tpu.runtime import Program
+    from eco_tpu.train.solver import (
+        SolverConfig, init_train_state, make_train_step,
+    )
+
+    graph = get_model(
+        "eco_lite_kinetics", num_segments=num_segments, batch=batch,
+        with_loss=True,
+    )
+    prog = Program(graph, train=True, compute_dtype=jnp.bfloat16)
+    cfg = SolverConfig(iter_size=1, solver_type="nesterov", clip_gradients=40.0)
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(
+        rng.standard_normal((1, batch, num_segments, 224, 224, 3)),
+        jnp.bfloat16,
+    )
+    label = jnp.asarray(rng.integers(0, 400, (1, batch)))
+    params, state = prog.init(
+        jax.random.PRNGKey(0), {"data": data[0], "label": label[0]}
+    )
+    ts = init_train_state(params, state)
+    step = jax.jit(make_train_step(prog, cfg))
+    key = jax.random.PRNGKey(1)
+    batch_d = {"data": data, "label": label}
+    # steps chain through ts (true serial dependency); fetch once at the end
+    ts, m = step(ts, batch_d, key)
+    jax.block_until_ready(m["loss"])
     t0 = time.perf_counter()
-    outs = [fwd(params, state, variants[i % len(variants)]) for i in range(iters)]
-    for o in outs:
-        np.asarray(o)
+    for _ in range(iters):
+        ts, m = step(ts, batch_d, key)
+    jax.block_until_ready(m["loss"])
     dt = (time.perf_counter() - t0) / iters
-    return batch / dt
+    return {"videos_per_sec": batch / dt, "step_ms": dt * 1e3, "batch": batch}
+
+
+def bench_serving(batch=8, num_segments=16, hw=(256, 340), iters=3):
+    """End-to-end serving: HOST numpy frames -> device -> probs fetched.
+
+    Contrasts the raw-uint8 plane (UInt8Server: ship uint8, Pallas
+    crop/mean/bf16 on-chip) with the classic host-side-f32 plane at the same
+    batch.  Includes the host->device transfer, which is the point: through
+    the axon relay (~10 MB/s) the 4x smaller uint8 payload dominates; on a
+    production host the same ratio applies to PCIe/DMA time.
+    """
+    from eco_tpu.apps.serving import UInt8Server
+    from eco_tpu.convert import optimize_for_inference
+    from eco_tpu.models import get_model
+    from eco_tpu.runtime import Program
+
+    h, w = hw
+    crop = 224
+    graph = get_model("eco_lite_kinetics", num_segments=num_segments, batch=batch)
+    prog0 = Program(graph, train=False)
+    zero = jnp.zeros((batch, num_segments, crop, crop, 3), jnp.bfloat16)
+    params, state = prog0.init(jax.random.PRNGKey(0), {"data": zero})
+    graph, params, state = optimize_for_inference(graph, params, state)
+    prog = Program(graph, train=False, compute_dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    frames_u8 = rng.integers(
+        0, 255, (batch, num_segments, h, w, 3), dtype=np.uint8
+    )
+    # pre-transformed f32 host path: crop+mean on host, ship f32
+    mean = np.asarray([104.0, 117.0, 123.0], np.float32)
+    y0, x0 = (h - crop) // 2, (w - crop) // 2
+    clips_f32 = (
+        frames_u8[:, :, y0:y0 + crop, x0:x0 + crop, :].astype(np.float32) - mean
+    )
+
+    server = UInt8Server(prog, params, state)
+
+    @jax.jit
+    def fwd(params, state, data):
+        outs, _ = prog.apply(params, state, {"data": data})
+        return outs["probs"]
+
+    def run_u8():
+        return np.asarray(server(jnp.asarray(frames_u8)))
+
+    def run_f32():
+        return np.asarray(fwd(params, state, jnp.asarray(clips_f32)))
+
+    out = {}
+    for name, fn in (("uint8_onchip", run_u8), ("f32_host", run_f32)):
+        fn()  # warmup/compile
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            fn()
+        dt = (time.perf_counter() - t0) / iters
+        out[f"serving_{name}_videos_per_sec"] = round(batch / dt, 2)
+    out["serving_batch"] = batch
+    return out
 
 
 def main():
-    import os
-
-    # batch 96 is the measured sweet spot on v5e (1184 v/s vs 1151 @ 64,
-    # 1161 @ 128); override with ECO_BENCH_BATCHES=a,b,...
     batches = tuple(
         int(b) for b in os.environ.get("ECO_BENCH_BATCHES", "96").split(",")
     )
+    extra: dict = {}
     best = 0.0
     errors = []
     for batch in batches:
+        # batch 96 is the measured sweet spot on v5e (1184 v/s vs 1151 @ 64,
+        # 1161 @ 128); override with ECO_BENCH_BATCHES=a,b,...
         try:
-            v = bench(batch=batch)
+            r = bench_infer("eco_lite_kinetics", batch, with_cost=True)
         except Exception as e:  # try remaining batch sizes, but never
             import traceback     # mask total failure as a 0.0 score
 
             traceback.print_exc()
             errors.append(e)
             continue
-        best = max(best, v)
+        if r["videos_per_sec"] > best:
+            best = r["videos_per_sec"]
+            for k in ("tflops_per_sec", "mfu_vs_v5e_bf16_peak"):
+                if k in r:
+                    extra[f"eco_lite_{k}"] = round(r[k], 3)
     if best == 0.0 and errors:
         raise errors[0]
+
+    if os.environ.get("ECO_BENCH_SKIP_EXTRAS", "0") != "1":
+        try:
+            rf = bench_infer("eco_full_kinetics", batch=48)
+            extra["eco_full_infer_videos_per_sec"] = round(rf["videos_per_sec"], 1)
+        except Exception as e:
+            extra["eco_full_infer_error"] = repr(e)
+        try:
+            rt = bench_train(batch=16)
+            extra["train_bf16_videos_per_sec_per_chip"] = round(rt["videos_per_sec"], 1)
+            extra["train_bf16_step_ms"] = round(rt["step_ms"], 1)
+        except Exception as e:
+            extra["train_bf16_error"] = repr(e)
+        try:
+            extra.update(bench_serving())
+        except Exception as e:
+            extra["serving_error"] = repr(e)
+
     print(
         json.dumps(
             {
@@ -88,6 +232,7 @@ def main():
                 "value": round(best, 1),
                 "unit": "videos/s",
                 "vs_baseline": round(best / BASELINE_VIDEOS_PER_SEC, 2),
+                "extra": extra,
             }
         )
     )

@@ -5,12 +5,19 @@ Semantics reproduced:
 - frames accumulate into 16-frame windows; up to 5 historical windows kept;
 - the sampling-memory schedule ``algo = [[16],[8,8],[4,4,8],[2,2,4,8],
   [1,1,2,4,8]]`` allocates how many frames each window contributes (newer
-  windows contribute more), each window subsampled by linspace
+  windows contribute more), each window subsampled by rint(linspace)
   (online_recognition.py:23,64-83);
+- window memory is DESTRUCTIVE by default, exactly like the reference: each
+  tick overwrites ``running_frames[y]`` with its subsample
+  (online_recognition.py:74-77), so an aging window degrades cumulatively
+  (16 -> 8 -> 4 -> 2 -> 1 frames as it moves down the schedule).  Pass
+  ``window_memory="full"`` to keep full windows and resample fresh each tick
+  (a documented improvement over the reference, not parity);
 - each frame: resize to 256x340, center-crop crop_size, BGR mean subtract
   (:85-92);
 - prediction = argmax of the *running mean* of fc8 logits over all forwards
-  so far (:94-98).
+  so far (:94-98; the reference keeps an unnormalized running sum --
+  identical argmax).
 
 The TPU upgrade: ``MultiStreamRecognizer`` runs many independent streams in
 one batched forward (videos ride the batch axis), which is how >230 streams/s
@@ -69,6 +76,7 @@ class OnlineRecognizer:
         crop_size: int = 224,
         max_windows: int = 5,
         output: str = None,
+        window_memory: str = "destructive",
     ):
         self.program = program
         self.params = params
@@ -76,6 +84,9 @@ class OnlineRecognizer:
         self.num_segments = num_segments
         self.crop_size = crop_size
         self.max_windows = max_windows
+        if window_memory not in ("destructive", "full"):
+            raise ValueError(f"window_memory {window_memory!r}")
+        self.window_memory = window_memory
         self.output = output or (
             "probs" if "probs" in program.output_names else program.output_names[-1]
         )
@@ -92,9 +103,15 @@ class OnlineRecognizer:
         alloc = streaming_allocation(len(s.windows), self.num_segments)
         # oldest window first, newest last; newest gets the most frames
         windows = s.windows[-len(alloc):]
-        frames = []
-        for w, count in zip(windows, alloc):
-            frames.extend(subsample_window(w, count))
+        subsampled = [
+            subsample_window(w, count) for w, count in zip(windows, alloc)
+        ]
+        if self.window_memory == "destructive":
+            # bug-for-bug reference parity: the subsample REPLACES the stored
+            # window (online_recognition.py:74-77), so older windows degrade
+            # cumulatively across ticks
+            s.windows = subsampled
+        frames = [f for w in subsampled for f in w]
         assert len(frames) == self.num_segments
         return np.stack(frames)  # (S, crop, crop, 3)
 
@@ -127,11 +144,13 @@ class MultiStreamRecognizer:
 
     def __init__(self, program, params, state, *, num_streams: int,
                  num_segments: int = 16, crop_size: int = 224,
-                 max_windows: int = 5, output: str = None):
+                 max_windows: int = 5, output: str = None,
+                 window_memory: str = "destructive"):
         self.n = num_streams
         self.single = OnlineRecognizer(
             program, params, state, num_segments=num_segments,
             crop_size=crop_size, max_windows=max_windows, output=output,
+            window_memory=window_memory,
         )
         self._streams = [_StreamState() for _ in range(num_streams)]
 

@@ -59,3 +59,66 @@ class UInt8Server:
         if mirror is None:
             mirror = jnp.zeros((n,), bool)
         return self._serve(self.params, self.state, frames_u8, h_off, w_off, mirror)
+
+
+class RawPreprocessProgram:
+    """Program wrapper for the ``raw`` data plane: batches carry uint8 frames
+    + host-sampled augment decisions (VideoPipeline(raw=True)); the Pallas
+    crop/mirror/mean kernel runs INSIDE the same jitted step as the model, so
+    train/eval through the CLI gets the "host ships uint8" transfer win.
+
+    Drop-in for Program in make_train_step/make_eval_step/Trainer: delegates
+    graph/outputs/total_loss, rewrites ``apply``/``init`` to consume
+    {"data": uint8 (N, S, H, W, 3), "h_off", "w_off", "mirror", ...}.
+    """
+
+    def __init__(self, program, *, crop: int = 224,
+                 mean=(104.0, 117.0, 123.0), interpret: Optional[bool] = None):
+        self.inner = program
+        self.crop = crop
+        self.mean = mean
+        if interpret is None:  # Mosaic kernels need interpret mode off-TPU
+            interpret = jax.default_backend() != "tpu"
+        self._interpret = interpret
+        # delegated surface used by solver/Trainer
+        self.graph = program.graph
+        self.train = program.train
+        self.compute_dtype = program.compute_dtype
+        self.output_names = program.output_names
+        self.loss_names = program.loss_names
+        self.exec_layers = program.exec_layers
+        self.total_loss = program.total_loss
+
+    _AUG_KEYS = ("h_off", "w_off", "mirror")
+
+    def _clips(self, inputs):
+        dtype = self.compute_dtype or jnp.float32
+        return preprocess_on_device(
+            inputs["data"],
+            jnp.asarray(inputs["h_off"], jnp.int32),
+            jnp.asarray(inputs["w_off"], jnp.int32),
+            jnp.asarray(inputs["mirror"], bool),
+            crop=self.crop, mean=self.mean, out_dtype=dtype,
+            interpret=self._interpret,
+        )
+
+    def init(self, rng, sample_inputs):
+        inner_sample = {
+            k: v for k, v in sample_inputs.items()
+            if k != "data" and k not in self._AUG_KEYS
+        }
+        n, s = jnp.shape(sample_inputs["data"])[:2]
+        inner_sample["data"] = jax.ShapeDtypeStruct(
+            (n, s, self.crop, self.crop, 3), self.compute_dtype or jnp.float32
+        )
+        return self.inner.init(rng, inner_sample)
+
+    def apply(self, params, state, inputs, *, rng=None, capture=None):
+        inner_inputs = {
+            k: v for k, v in inputs.items()
+            if k != "data" and k not in self._AUG_KEYS
+        }
+        inner_inputs["data"] = self._clips(inputs)
+        return self.inner.apply(
+            params, state, inner_inputs, rng=rng, capture=capture
+        )

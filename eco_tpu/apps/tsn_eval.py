@@ -1,10 +1,16 @@
 """TSN-style oversampled evaluation -- parity with
-caffe_3d/action_python/VideoSpatialPrediction.py:31-78.
+caffe_3d/action_python/VideoSpatialPrediction.py:31-78 (RGB) and
+VideoTemporalPrediction.py (stacked optical flow).
 
-Protocol: sample ``num_frames`` (default 25) frames evenly across the video,
-resize to 256x340, take 10 crops per frame (4 corners + center, each
+Spatial protocol: sample ``num_frames`` (default 25) frames evenly across the
+video, resize to 256x340, take 10 crops per frame (4 corners + center, each
 mirrored), forward all crops, average the logits/probs over every crop and
 frame for the video-level prediction.
+
+Temporal protocol: at each of ``num_samples`` positions stack
+``optical_flow_frames`` consecutive (flow_x, flow_y) pairs into a
+2L-channel image; the 5 mirrored crops negate the x channels (255 - v),
+exactly the reference's ``flow_flip`` (VideoTemporalPrediction.py:49-51).
 """
 
 from __future__ import annotations
@@ -65,6 +71,75 @@ def oversample_video(
     return stacks  # (10, S, crop, crop, 3)
 
 
+def ten_crop_flow(stack: np.ndarray, crop: int = 224) -> np.ndarray:
+    """(H, W, 2L) interleaved (x, y) -> (10, crop, crop, 2L).
+
+    The 5 mirrored crops flip horizontally AND negate the x channels
+    (channels 0, 2, 4, ...): 255 - v, the reference's flow_flip
+    (VideoTemporalPrediction.py:49-51, io.cpp:498-623 mirror rule).
+    """
+    h, w = stack.shape[:2]
+    offs = [
+        (0, 0), (0, w - crop), ((h - crop) // 2, (w - crop) // 2),
+        (h - crop, 0), (h - crop, w - crop),
+    ]
+    flipped = stack[:, ::-1].copy()
+    flipped[..., 0::2] = 255.0 - flipped[..., 0::2]
+    crops = [stack[y:y + crop, x:x + crop] for y, x in offs]
+    crops += [flipped[y:y + crop, x:x + crop] for y, x in offs]
+    return np.stack(crops)
+
+
+def oversample_flow_video(
+    video_path: str,
+    n_video_frames: int,
+    *,
+    num_samples: int = 25,
+    optical_flow_frames: int = 5,
+    crop: int = 224,
+    name_pattern: str = "flow_%05d.jpg",
+    resize_hw=(256, 340),
+    mean: float = 128.0,
+) -> np.ndarray:
+    """Returns (10, num_samples, crop, crop, 2*optical_flow_frames) float32.
+
+    Frame selection matches the reference: position i uses consecutive flow
+    pairs i*step + j, step = floor((duration - L + 1) / num_samples)
+    (VideoTemporalPrediction.py:33-43).  Flow frames live in ``flow_x/`` and
+    ``flow_y/`` subdirs named by ``name_pattern`` (our reader convention).
+    """
+    import cv2
+
+    L = optical_flow_frames
+    step = max(1, (n_video_frames - L + 1) // num_samples)
+    samples = []
+    last = None
+    for i in range(num_samples):
+        chans = []
+        for j in range(L):
+            fidx = min(i * step + j, n_video_frames - 1)
+            name = name_pattern % (fidx + 1)
+            fx = cv2.imread(os.path.join(video_path, "flow_x", name),
+                            cv2.IMREAD_GRAYSCALE)
+            fy = cv2.imread(os.path.join(video_path, "flow_y", name),
+                            cv2.IMREAD_GRAYSCALE)
+            if fx is None or fy is None:
+                if last is None:
+                    raise FileNotFoundError(os.path.join(video_path, name))
+                fx, fy = last
+            else:
+                fx = cv2.resize(fx, (resize_hw[1], resize_hw[0]))
+                fy = cv2.resize(fy, (resize_hw[1], resize_hw[0]))
+                last = (fx, fy)
+            chans += [fx, fy]
+        samples.append(np.stack(chans, axis=-1))  # (H, W, 2L)
+    crops = np.stack(
+        [ten_crop_flow(s.astype(np.float32), crop) for s in samples]
+    )  # (num_samples, 10, crop, crop, 2L)
+    crops = crops.transpose(1, 0, 2, 3, 4) - np.float32(mean)
+    return crops.astype(np.float32)  # (10, S, crop, crop, 2L)
+
+
 class OversampleEvaluator:
     """Batched 10-crop evaluation of a video list on TPU."""
 
@@ -91,10 +166,23 @@ class OversampleEvaluator:
         )
         return scores.mean(axis=0)
 
-    def evaluate(self, records, **kw):
+    def predict_flow_video(self, video_path: str, n_frames: int, **kw) -> np.ndarray:
+        """Temporal-network prediction over stacked optical flow
+        (VideoTemporalPrediction parity); returns (num_classes,)."""
+        crops = oversample_flow_video(video_path, n_frames, **kw)
+        scores = np.asarray(
+            self._fwd(self.params, self.state, jnp.asarray(crops))
+        )
+        return scores.mean(axis=0)
+
+    def evaluate(self, records, *, modality: str = "RGB", **kw):
         """Top-1 accuracy over [(path, n_frames, label)] records."""
+        predict = (
+            self.predict_flow_video if modality.upper() == "FLOW"
+            else self.predict_video
+        )
         correct = 0
         for rec in records:
-            pred = self.predict_video(rec.path, rec.num_frames, **kw)
+            pred = predict(rec.path, rec.num_frames, **kw)
             correct += int(np.argmax(pred) == rec.label)
         return correct / max(len(records), 1)

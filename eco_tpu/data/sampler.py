@@ -85,8 +85,9 @@ def streaming_allocation(num_windows: int, total: int = 16):
 
 
 def subsample_window(frames, count: int):
-    """np.linspace subsampling of one window's frames to ``count`` items
-    (online_recognition.py:66-83)."""
+    """linspace subsampling of one window's frames to ``count`` items --
+    np.rint rounding exactly like the reference
+    (online_recognition.py:74-77: rint(linspace(0, n-1, count)))."""
     n = len(frames)
-    idx = np.linspace(0, n - 1, count).astype(np.int64)
+    idx = np.rint(np.linspace(0, n - 1, count)).astype(np.int64)
     return [frames[i] for i in idx]

@@ -97,6 +97,41 @@ def _data_cfg_from_graph(graph, phase: str, list_override=None, args=None):
     return None
 
 
+def _make_pipeline(args, dcfg, *, train, seed=0, rank=0, world=1):
+    """--pipeline {python,native,raw}: Python loader, C++ libecodata loader,
+    or raw-uint8 mode (host decodes, chip crops/mirrors/mean-subtracts via
+    the Pallas kernel inside the jitted step)."""
+    import dataclasses
+
+    from eco_tpu.data import VideoPipeline
+
+    kind = getattr(args, "pipeline", "python") or "python"
+    if kind == "native":
+        from eco_tpu.data.native import NativeVideoPipeline
+
+        return NativeVideoPipeline(
+            dcfg, train=train, seed=seed, rank=rank, world=world
+        )
+    if kind == "raw":
+        if not (dcfg.new_height and dcfg.new_width):
+            # raw mode needs fixed decode size; the reference standard
+            dcfg = dataclasses.replace(dcfg, new_height=256, new_width=340)
+        dcfg = dataclasses.replace(dcfg, raw=True)
+    return VideoPipeline(
+        dcfg, train=train, seed=seed, rank=rank, world=world
+    )
+
+
+def _wrap_raw(args, prog, dcfg):
+    if getattr(args, "pipeline", None) != "raw":
+        return prog
+    from eco_tpu.apps.serving import RawPreprocessProgram
+
+    return RawPreprocessProgram(
+        prog, crop=dcfg.transform.crop_size, mean=dcfg.transform.mean_values
+    )
+
+
 def cmd_device_query(args):
     import jax
 
@@ -126,7 +161,6 @@ def cmd_time(args):
 def cmd_train(args):
     import jax
 
-    from eco_tpu.data import VideoPipeline
     from eco_tpu.runtime import Program
     from eco_tpu.train import restore_weights
     from eco_tpu.train.loop import Trainer, solver_config_from_prototxt
@@ -149,18 +183,17 @@ def cmd_train(args):
         )
     # multi-host: shard the list by cursor offset exactly like the
     # reference's MPI ranks (base_data_layer.cpp:42-45)
-    pipe = VideoPipeline(
-        dcfg, train=True, seed=cfg.random_seed,
+    pipe = _make_pipeline(
+        args, dcfg, train=True, seed=cfg.random_seed,
         rank=jax.process_index(), world=jax.process_count(),
     )
+    train_prog = _wrap_raw(args, train_prog, dcfg)
+    test_prog = _wrap_raw(args, test_prog, dcfg)
 
     def micro_batches():
         while True:
             ms = [pipe.next_batch() for _ in range(cfg.iter_size)]
-            yield {
-                "data": np.stack([m["data"] for m in ms]),
-                "label": np.stack([m["label"] for m in ms]),
-            }
+            yield {k: np.stack([m[k] for m in ms]) for k in ms[0]}
 
     it = micro_batches()
     first = next(it)
@@ -196,7 +229,6 @@ def cmd_test(args):
     import jax
     import jax.numpy as jnp
 
-    from eco_tpu.data import VideoPipeline
     from eco_tpu.runtime import Program
     from eco_tpu.train import load_model
     from eco_tpu.train.loop import Trainer, SolverConfig
@@ -208,7 +240,8 @@ def cmd_test(args):
         raise SystemExit(
             "graph has no VideoData layer and no --list given; pass --list"
         )
-    pipe = VideoPipeline(dcfg, train=False, seed=0)
+    pipe = _make_pipeline(args, dcfg, train=False, seed=0)
+    prog = _wrap_raw(args, prog, dcfg)
     params, state = load_model(args.weights)
     from eco_tpu.train.solver import init_train_state
 
@@ -315,7 +348,6 @@ def cmd_extract(args):
     import jax
     import jax.numpy as jnp
 
-    from eco_tpu.data import VideoPipeline
     from eco_tpu.runtime import Program
 
     graph = _build_graph(args, with_loss=False)
@@ -323,7 +355,10 @@ def cmd_extract(args):
     dcfg = _data_cfg_from_graph(graph, "test", args.list, args)
     if dcfg is None:
         raise SystemExit("pass --list with the videos to extract from")
-    pipe = VideoPipeline(dcfg, train=False, seed=0)
+    if getattr(args, "pipeline", None) == "raw":
+        raise SystemExit("--pipeline raw is not supported for extract; "
+                         "use python or native")
+    pipe = _make_pipeline(args, dcfg, train=False, seed=0)
     batch = pipe.next_batch()
     pipe.close()
     params, state = prog.init(jax.random.PRNGKey(0), {"data": batch["data"]})
@@ -364,6 +399,12 @@ def main(argv=None):
         sp.add_argument("--batch", type=int, default=4)
         sp.add_argument("--segments", type=int, default=16)
         sp.add_argument("--list", default=None)
+        sp.add_argument(
+            "--pipeline", default="python",
+            choices=["python", "native", "raw"],
+            help="data plane: python loader, C++ libecodata, or raw uint8 "
+                 "with on-device (Pallas) crop/mirror/mean",
+        )
 
     sp = sub.add_parser("train")
     common(sp)

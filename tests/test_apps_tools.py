@@ -312,3 +312,86 @@ def test_memory_analysis_and_trace(tmp_path):
     with trace(str(tmp_path / "tb")):
         np.asarray(fwd(params, state, data))
     assert os.path.isdir(str(tmp_path / "tb"))
+
+
+def test_online_destructive_memory_matches_reference_loop():
+    """Bug-for-bug parity with the reference's window bookkeeping
+    (online_recognition.py:64-83): each tick's subsample OVERWRITES the
+    stored window, so aging windows degrade cumulatively (VERDICT r1 #8)."""
+    import itertools
+
+    S = 16
+    algo = [[16], [8, 8], [4, 4, 8], [2, 2, 4, 8], [1, 1, 2, 4, 8]]
+
+    def reference_clips(tick_windows):
+        # direct port of the reference loop over frame *values*
+        running = []
+        clips = []
+        for window in tick_windows:
+            running.append(list(window))
+            if len(running) > 5:
+                del running[0]
+                alloc = algo[4]
+            else:
+                alloc = algo[len(running) - 1]
+            for y in range(len(alloc)):
+                idx = np.rint(
+                    np.linspace(0, len(running[y]) - 1, alloc[y])
+                ).astype(np.int64)
+                running[y] = [running[y][i] for i in idx]
+            clips.append(list(itertools.chain(*running)))
+        return clips
+
+    g = _tiny_video_model(S=S, crop=32)
+    prog = Program(g, train=False)
+    params, state = prog.init(
+        jax.random.PRNGKey(0), {"data": jnp.zeros((1, S, 32, 32, 3))}
+    )
+    rec = OnlineRecognizer(prog, params, state, num_segments=S, crop_size=32)
+    assert rec.window_memory == "destructive"
+    captured = []
+    orig = rec._fwd
+    rec._fwd = lambda p, s, d: (captured.append(np.asarray(d)), orig(p, s, d))[1]
+
+    n_ticks = 7
+    tick_windows = [
+        [t * S + i for i in range(S)] for t in range(n_ticks)
+    ]
+    for t in range(n_ticks):
+        for v in tick_windows[t]:
+            rec.push_frame(np.full((256, 340, 3), v, np.uint8))
+    assert len(captured) == n_ticks
+    expected = reference_clips(tick_windows)
+    for t in range(n_ticks):
+        got = captured[t][0, :, 0, 0, 0] + 104.0  # undo B-channel mean
+        np.testing.assert_allclose(got, np.asarray(expected[t], np.float32))
+
+
+def test_online_full_memory_diverges_from_destructive():
+    S = 16
+    g = _tiny_video_model(S=S, crop=32)
+    prog = Program(g, train=False)
+    params, state = prog.init(
+        jax.random.PRNGKey(0), {"data": jnp.zeros((1, S, 32, 32, 3))}
+    )
+    clips = {}
+    for mode in ("destructive", "full"):
+        rec = OnlineRecognizer(
+            prog, params, state, num_segments=S, crop_size=32,
+            window_memory=mode,
+        )
+        captured = []
+        orig = rec._fwd
+        rec._fwd = lambda p, s, d: (
+            captured.append(np.asarray(d)), orig(p, s, d))[1]
+        for t in range(4):
+            for i in range(S):
+                rec.push_frame(np.full((256, 340, 3), t * S + i, np.uint8))
+        clips[mode] = captured
+    # identical while windows are fresh, diverging once a window has been
+    # re-subsampled (tick 3: destructive re-samples an already-thinned window)
+    np.testing.assert_array_equal(clips["full"][0], clips["destructive"][0])
+    assert any(
+        not np.array_equal(clips["full"][t], clips["destructive"][t])
+        for t in range(1, 4)
+    )

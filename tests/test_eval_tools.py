@@ -94,3 +94,140 @@ def test_to_dot():
     assert dot.startswith("digraph")
     assert '"layer_conv1_7x7_s2"' in dot and '"layer_res5b_2"' in dot
     assert "fold_segments" in dot
+
+
+@pytest.fixture()
+def flow_dir(tmp_path):
+    d = tmp_path / "flowvid"
+    (d / "flow_x").mkdir(parents=True)
+    (d / "flow_y").mkdir(parents=True)
+    for f in range(20):
+        cv2.imwrite(str(d / "flow_x" / ("flow_%05d.jpg" % (f + 1))),
+                    np.full((64, 80), 100 + f, np.uint8))
+        cv2.imwrite(str(d / "flow_y" / ("flow_%05d.jpg" % (f + 1))),
+                    np.full((64, 80), 150 - f, np.uint8))
+    return str(d)
+
+
+def test_ten_crop_flow_negates_x_on_flip():
+    from eco_tpu.apps.tsn_eval import ten_crop_flow
+
+    stack = np.random.default_rng(0).integers(
+        0, 255, (256, 340, 4)).astype(np.float32)
+    crops = ten_crop_flow(stack, 224)
+    assert crops.shape == (10, 224, 224, 4)
+    # crop 0 (TL) vs crop 5 (TL mirrored): y channels mirror, x channels
+    # mirror AND negate (255 - v) -- VideoTemporalPrediction.py flow_flip
+    flipped = stack[:, ::-1]
+    np.testing.assert_array_equal(
+        crops[5][..., 1], flipped[:224, :224, 1])
+    np.testing.assert_array_equal(
+        crops[5][..., 0], 255.0 - flipped[:224, :224, 0])
+    np.testing.assert_array_equal(
+        crops[5][..., 2], 255.0 - flipped[:224, :224, 2])
+
+
+def test_oversample_flow_video_and_flow_eval(flow_dir):
+    from eco_tpu.apps.tsn_eval import oversample_flow_video
+
+    S, crop, L = 4, 32, 2
+    crops = oversample_flow_video(
+        flow_dir, 20, num_samples=S, optical_flow_frames=L, crop=crop,
+        resize_hw=(48, 56),
+    )
+    assert crops.shape == (10, S, crop, crop, 2 * L)
+    assert np.isfinite(crops).all()
+
+    # end-to-end: a flow-input ECO graph evaluates the flow protocol
+    b = NetBuilder("flow_m")
+    x = b.input("data", (10, S, crop, crop, 2 * L))
+    x = b.layer("fold", "fold_segments", x)
+    x = b.conv("c", x, 4, k=3, s=2, p=1)
+    x = b.layer("unfold", "unfold_segments", x, num_segments=S)
+    x = b.layer("gap", "global_avg_pool", x)
+    y = b.fc("fc", x, 3)
+    b.layer("probs", "softmax", y)
+    g = b.build()
+    prog = Program(g, train=False)
+    params, state = prog.init(
+        jax.random.PRNGKey(0), {"data": jnp.zeros((10, S, crop, crop, 2 * L))}
+    )
+    ev = OversampleEvaluator(prog, params, state)
+    pred = ev.predict_flow_video(
+        flow_dir, 20, num_samples=S, optical_flow_frames=L, crop=crop,
+        resize_hw=(48, 56),
+    )
+    assert pred.shape == (3,)
+    acc = ev.evaluate(
+        [VideoRecord(flow_dir, 20, int(np.argmax(pred)))],
+        modality="FLOW", num_samples=S, optical_flow_frames=L, crop=crop,
+        resize_hw=(48, 56),
+    )
+    assert acc == 1.0
+
+
+def test_flow_training_end_to_end(tmp_path, flow_dir):
+    """Flow modality through the full stack: VideoPipeline(FLOW) ->
+    flow-channel ECO-Lite -> train steps reduce loss (VERDICT r1 #7)."""
+    from eco_tpu.data import TransformConfig, VideoDataConfig, VideoPipeline
+    from eco_tpu.models import build_eco_lite
+    from eco_tpu.train.loop import Trainer
+    from eco_tpu.train.solver import SolverConfig
+
+    # two synthetic flow classes with distinct motion statistics
+    rng = np.random.default_rng(0)
+    lines = []
+    for v in range(4):
+        d = tmp_path / f"fv{v}"
+        (d / "flow_x").mkdir(parents=True)
+        (d / "flow_y").mkdir(parents=True)
+        base = 60 if v % 2 == 0 else 190
+        for f in range(12):
+            x = (base + rng.integers(0, 20, (48, 56))).astype(np.uint8)
+            y = (255 - base + rng.integers(0, 20, (48, 56))).astype(np.uint8)
+            cv2.imwrite(str(d / "flow_x" / ("flow_%05d.jpg" % (f + 1))), x)
+            cv2.imwrite(str(d / "flow_y" / ("flow_%05d.jpg" % (f + 1))), y)
+        lines.append(f"{d} 12 {v % 2}")
+    lst = tmp_path / "flow_list.txt"
+    lst.write_text("\n".join(lines) + "\n")
+
+    S, crop = 2, 32
+    cfg = VideoDataConfig(
+        source=str(lst), batch_size=4, num_segments=S, modality="FLOW",
+        name_pattern="flow_%05d.jpg", shuffle=True,
+        transform=TransformConfig(
+            crop_size=crop, is_flow=True, mirror=True,
+            mean_values=(128.0, 128.0), multi_scale=False, fix_crop=False,
+        ),
+    )
+    pipe = VideoPipeline(cfg, train=True, seed=0, num_workers=2)
+    try:
+        g = build_eco_lite(num_classes=2, num_segments=S, crop_size=crop,
+                           in_channels=2, with_loss=True, batch=4)
+        prog = Program(g, train=True)
+        scfg = SolverConfig(
+            base_lr=0.02, lr_policy="fixed", momentum=0.9, iter_size=1,
+            solver_type="sgd", max_iter=8, display=0, snapshot=0,
+            weight_decay=0.0,
+        )
+        trainer = Trainer(prog, scfg)
+
+        def batches():
+            while True:
+                b = pipe.next_batch()
+                yield {"data": b["data"][None], "label": b["label"][None]}
+
+        it = batches()
+        first = next(it)
+        ts = trainer.init_state({k: v[0] for k, v in first.items()})
+        import itertools
+
+        losses = []
+        ts = trainer.solve(
+            ts, itertools.chain([first], it),
+            hooks=[lambda i, t, m: losses.append(float(m["loss"]))],
+        )
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-2:]) < np.mean(losses[:2])
+    finally:
+        pipe.close()
