@@ -54,11 +54,20 @@ def _load():
         # fix_crop, more_fix_crop, multi_scale, max_distort, mirror
         ctypes.c_int, ctypes.c_int,  # new_height, new_width
         ctypes.c_int, ctypes.c_int,  # rank, world
+        ctypes.c_int,  # raw
     ]
     lib.eco_loader_next.restype = ctypes.c_int
     lib.eco_loader_next.argtypes = [
         ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.eco_loader_next_raw.restype = ctypes.c_int
+    lib.eco_loader_next_raw.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int32),
     ]
     lib.eco_loader_num_videos.restype = ctypes.c_int
@@ -92,6 +101,8 @@ class NativeVideoPipeline:
                 "NativeVideoPipeline supports the default scale/scale_ratios "
                 "only; use VideoPipeline"
             )
+        if cfg.raw and not (cfg.new_height and cfg.new_width):
+            raise ValueError("raw mode needs new_height/new_width (fixed size)")
         self.cfg = cfg
         self._lib = lib
         source = cfg.source
@@ -121,13 +132,21 @@ class NativeVideoPipeline:
             int(t.fix_crop), int(t.more_fix_crop), int(t.multi_scale),
             int(t.max_distort), int(t.mirror),
             cfg.new_height, cfg.new_width, rank, world,
+            int(cfg.raw),
         )
         if not self._handle:
             raise RuntimeError(f"failed to open video list {cfg.source!r}")
         T = cfg.num_segments * cfg.new_length
-        self._data = np.empty(
-            (cfg.batch_size, T, t.crop_size, t.crop_size, 3), np.float32
-        )
+        if cfg.raw:
+            self._data = np.empty(
+                (cfg.batch_size, T, cfg.new_height, cfg.new_width, 3), np.uint8
+            )
+            self._offs = np.empty((cfg.batch_size, 2), np.int32)
+            self._mirror = np.empty((cfg.batch_size,), np.uint8)
+        else:
+            self._data = np.empty(
+                (cfg.batch_size, T, t.crop_size, t.crop_size, 3), np.float32
+            )
         self._label = np.empty((cfg.batch_size,), np.int32)
 
     @property
@@ -135,6 +154,23 @@ class NativeVideoPipeline:
         return self._lib.eco_loader_num_videos(self._handle)
 
     def next_batch(self):
+        if self.cfg.raw:
+            rc = self._lib.eco_loader_next_raw(
+                self._handle,
+                self._data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                self._offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                self._mirror.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                self._label.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+            if rc != 0:
+                raise RuntimeError("native loader stopped")
+            return {
+                "data": self._data.copy(),
+                "h_off": self._offs[:, 0].copy(),
+                "w_off": self._offs[:, 1].copy(),
+                "mirror": self._mirror.astype(bool),
+                "label": self._label.copy(),
+            }
         rc = self._lib.eco_loader_next(
             self._handle,
             self._data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -27,12 +27,41 @@ SEGMENT_AXIS = "segment"
 MODEL_AXIS = "model"
 
 
+_CLUSTER_ENV_VARS = (
+    # jax.distributed auto-detection sources (clusters the reference reached
+    # via mpirun, train_action_recognition_rgb.sh:1-8)
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "SLURM_JOB_ID",
+    "OMPI_COMM_WORLD_SIZE",
+    "TPU_WORKER_HOSTNAMES",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+)
+
+
 def distributed_init(**kwargs) -> None:
-    """Multi-host bootstrap (MPI_Init equivalent). No-op on a single host."""
+    """Multi-host bootstrap (MPI_Init equivalent).
+
+    No-op on a plain single-host launch (no explicit config and no cluster
+    environment detected).  Real configuration errors -- bad coordinator
+    address, inconsistent process counts -- PROPAGATE; only the benign
+    "already initialized" case is swallowed.
+    """
+    import os
+
+    explicit = any(v is not None for v in kwargs.values()) if kwargs else False
+    if not explicit and not any(v in os.environ for v in _CLUSTER_ENV_VARS):
+        return  # single host, nothing to initialize
     try:
         jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        pass  # already initialized or single-process
+    except (RuntimeError, ValueError) as e:
+        if "already" in str(e).lower():
+            return  # initialized earlier in this process
+        if explicit:
+            raise  # user-supplied config is wrong -- surface it
+        # auto path: cluster-ish env vars present but no usable coordinator
+        # was detected (e.g. a TPU VM env on a single host) -> single-process
+        return
 
 
 def make_mesh(

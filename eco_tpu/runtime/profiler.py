@@ -51,6 +51,54 @@ def _run_collect(program, params, state, inputs, *, rng=None):
     return blobs
 
 
+def _device_loop_ms(fn, args, iters: int) -> float:
+    """K-vs-1 difference timing: run ``fn`` inside an on-device
+    ``lax.fori_loop`` of n iterations (one dispatch + one scalar fetch per
+    measurement) and report (T(K) - T(1)) / (K - 1).
+
+    This removes the fixed per-call host round-trip, which through a remote
+    relay (~30 ms/fetch) otherwise dominates every layer under a few ms --
+    the host-loop method reports dispatch latency, not compute.  The loop
+    body perturbs its first float input with the carry so XLA cannot hoist
+    the (otherwise loop-invariant) computation out of the loop.
+    """
+    import functools
+
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree.flatten(args)
+    f_idx = next(
+        (i for i, l in enumerate(leaves)
+         if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.inexact)),
+        None,
+    )
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def run(n, *leaves):
+        def body(i, acc):
+            ls = list(leaves)
+            if f_idx is not None:
+                ls[f_idx] = ls[f_idx] + acc.astype(ls[f_idx].dtype)
+            outs = fn(*jax.tree.unflatten(treedef, ls))
+            tot = sum(
+                jnp.sum(o.astype(jnp.float32))
+                for o in jax.tree.leaves(outs)
+            )
+            return acc + tot * jnp.float32(1e-30)
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+    def timed(n):
+        jax.block_until_ready(run(n, *leaves))  # compile + warm
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(n, *leaves))
+        return time.perf_counter() - t0
+
+    t1 = timed(1)
+    tk = timed(max(iters, 2) + 1)
+    return max(tk - t1, 0.0) / max(iters, 2) * 1e3
+
+
 def time_layers(
     program,
     params,
@@ -61,6 +109,7 @@ def time_layers(
     warmup: int = 2,
     rng=None,
     backward: bool = False,
+    method: str = "auto",
 ):
     """Per-layer micro-benchmark.
 
@@ -68,14 +117,23 @@ def time_layers(
     [(layer_name, type, fwd_ms, bwd_ms)] where bwd is the layer's VJP on its
     inputs+params (what ``caffe time`` reports per layer,
     tools/caffe.cpp:318-357).
+
+    ``method``: "host" times a host loop with a blocking fetch per call
+    (fine locally; relay-dominated over remote transports), "device_loop"
+    uses the K-vs-1 on-device fori_loop difference method, "auto" picks
+    device_loop on TPU and host elsewhere.
     """
     if rng is None and program.train:
         rng = jax.random.PRNGKey(0)
     blobs = _run_collect(program, params, state, inputs, rng=rng)
     ctx = Context(train=program.train, rng=rng, compute_dtype=program.compute_dtype)
     rows = []
+    if method == "auto":
+        method = "device_loop" if jax.default_backend() == "tpu" else "host"
 
     def bench(fn, args):
+        if method == "device_loop":
+            return _device_loop_ms(fn, args, iters)
         for _ in range(warmup):
             out = fn(*args)
         jax.block_until_ready(out)

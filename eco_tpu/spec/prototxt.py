@@ -167,6 +167,71 @@ def _phase_of(layer: dict):
     return None
 
 
+# V1 LayerType enum -> V2 string type (upgrade_proto.cpp UpgradeV1LayerType).
+_V1_TYPES = {
+    "ABSVAL": "AbsVal", "ACCURACY": "Accuracy", "ARGMAX": "ArgMax",
+    "BN": "BN", "BNLL": "BNLL", "CONCAT": "Concat",
+    "CONTRASTIVE_LOSS": "ContrastiveLoss", "CONVOLUTION": "Convolution",
+    "DATA": "Data", "DECONVOLUTION": "Deconvolution", "DROPOUT": "Dropout",
+    "DUMMY_DATA": "DummyData", "ELTWISE": "Eltwise",
+    "EUCLIDEAN_LOSS": "EuclideanLoss", "EXP": "Exp", "FLATTEN": "Flatten",
+    "HDF5_DATA": "HDF5Data", "HDF5_OUTPUT": "HDF5Output",
+    "HINGE_LOSS": "HingeLoss", "IM2COL": "Im2col", "IMAGE_DATA": "ImageData",
+    "INFOGAIN_LOSS": "InfogainLoss", "INNER_PRODUCT": "InnerProduct",
+    "LRN": "LRN", "MEMORY_DATA": "MemoryData",
+    "MULTINOMIAL_LOGISTIC_LOSS": "MultinomialLogisticLoss", "MVN": "MVN",
+    "POOLING": "Pooling", "POWER": "Power", "RELU": "ReLU",
+    "RESHAPE": "Reshape", "SIGMOID": "Sigmoid",
+    "SIGMOID_CROSS_ENTROPY_LOSS": "SigmoidCrossEntropyLoss",
+    "SILENCE": "Silence", "SLICE": "Slice", "SOFTMAX": "Softmax",
+    "SOFTMAX_LOSS": "SoftmaxWithLoss", "SPLIT": "Split", "TANH": "TanH",
+    "THRESHOLD": "Threshold", "VIDEO_DATA": "VideoData",
+    "WINDOW_DATA": "WindowData",
+}
+
+
+def upgrade_v1_net(net: dict) -> dict:
+    """V1 text format -> V2: ``layers { type: ENUM ... }`` becomes
+    ``layer { type: "Str" ... }`` with ``blobs_lr``/``weight_decay``/string
+    ``param`` share-names folded into V2 ``param { lr_mult decay_mult name }``
+    (upgrade_proto.cpp UpgradeV1Net/UpgradeV1LayerParameter, :15-470).
+
+    V0 nets (a nested ``layer { ... }`` message inside ``layers``) predate
+    typed param submessages and are rejected with a clear error.
+    """
+    if "layers" not in net:
+        return net
+    out = {k: v for k, v in net.items() if k != "layers"}
+    upgraded = list(_as_list(out.get("layer")))
+    for l in _as_list(net["layers"]):
+        if isinstance(l.get("layer"), dict):
+            raise ValueError(
+                "V0 prototxt format (nested layer{} inside layers{}) is not "
+                "supported; run the stock upgrade_net_proto_text tool first"
+            )
+        nl = dict(l)
+        t = str(nl.get("type", ""))
+        nl["type"] = _V1_TYPES.get(t.upper(), t)
+        lrs = _as_list(nl.pop("blobs_lr", None))
+        wds = _as_list(nl.pop("weight_decay", None))
+        names = [p for p in _as_list(nl.get("param")) if isinstance(p, str)]
+        if lrs or wds or names:
+            params = []
+            for i in range(max(len(lrs), len(wds), len(names))):
+                p = {}
+                if i < len(names):
+                    p["name"] = names[i]
+                if i < len(lrs):
+                    p["lr_mult"] = lrs[i]
+                if i < len(wds):
+                    p["decay_mult"] = wds[i]
+                params.append(p)
+            nl["param"] = params
+        upgraded.append(nl)
+    out["layer"] = upgraded
+    return out
+
+
 def _param_specs(layer: dict):
     specs = []
     for p in _as_list(layer.get("param")):
@@ -337,7 +402,7 @@ def _peephole(layers: list[LayerSpec], data_tops: set[str]) -> list[LayerSpec]:
 
 
 def graph_from_prototxt(text: str, *, name: str = None) -> GraphSpec:
-    net = parse_prototxt(text)
+    net = upgrade_v1_net(parse_prototxt(text))
     graph = GraphSpec(name or net.get("name", "net"))
     # deploy-style inputs
     inputs = _as_list(net.get("input"))

@@ -106,24 +106,24 @@ def _make_pipeline(args, dcfg, *, train, seed=0, rank=0, world=1):
     from eco_tpu.data import VideoPipeline
 
     kind = getattr(args, "pipeline", "python") or "python"
-    if kind == "native":
+    if kind in ("raw", "native-raw"):
+        if not (dcfg.new_height and dcfg.new_width):
+            # raw mode needs fixed decode size; the reference standard
+            dcfg = dataclasses.replace(dcfg, new_height=256, new_width=340)
+        dcfg = dataclasses.replace(dcfg, raw=True)
+    if kind in ("native", "native-raw"):
         from eco_tpu.data.native import NativeVideoPipeline
 
         return NativeVideoPipeline(
             dcfg, train=train, seed=seed, rank=rank, world=world
         )
-    if kind == "raw":
-        if not (dcfg.new_height and dcfg.new_width):
-            # raw mode needs fixed decode size; the reference standard
-            dcfg = dataclasses.replace(dcfg, new_height=256, new_width=340)
-        dcfg = dataclasses.replace(dcfg, raw=True)
     return VideoPipeline(
         dcfg, train=train, seed=seed, rank=rank, world=world
     )
 
 
 def _wrap_raw(args, prog, dcfg):
-    if getattr(args, "pipeline", None) != "raw":
+    if getattr(args, "pipeline", None) not in ("raw", "native-raw"):
         return prog
     from eco_tpu.apps.serving import RawPreprocessProgram
 
@@ -154,7 +154,8 @@ def cmd_time(args):
         np.random.default_rng(0).standard_normal(shape), jnp.float32
     )
     params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
-    rows = time_layers(prog, params, state, {"data": data}, iters=args.iters)
+    rows = time_layers(prog, params, state, {"data": data}, iters=args.iters,
+                       method=args.method)
     print(format_layer_times(rows))
 
 
@@ -267,6 +268,22 @@ def cmd_convert(args):
     sample = {
         k: jnp.zeros(shape, jnp.float32) for k, shape in graph.inputs.items()
     }
+    # train-style prototxts declare no inputs; synthesize samples for the
+    # data-layer tops so init can propagate shapes
+    for l in prog.data_layers:
+        if l.type.lower() != "videodata":
+            continue
+        t = dict(l.opt("transform", {}) or {})
+        b = int(l.opt("batch_size", 1))
+        crop = int(t.get("crop_size", 224))
+        sl = int(l.opt("num_segments", 16)) * int(l.opt("new_length", 1))
+        c = 3 if str(l.opt("modality", "RGB")).upper() == "RGB" else 2
+        for top in l.tops:
+            if top not in sample:
+                sample[top] = (
+                    jnp.zeros((b,), jnp.int32) if top == "label"
+                    else jnp.zeros((b, sl, crop, crop, c), jnp.float32)
+                )
     params, state = prog.init(jax.random.PRNGKey(0), sample)
     params, state, report = import_caffe_weights(
         graph, params, state, args.caffemodel, bn_style=args.bn_style
@@ -355,7 +372,7 @@ def cmd_extract(args):
     dcfg = _data_cfg_from_graph(graph, "test", args.list, args)
     if dcfg is None:
         raise SystemExit("pass --list with the videos to extract from")
-    if getattr(args, "pipeline", None) == "raw":
+    if getattr(args, "pipeline", None) in ("raw", "native-raw"):
         raise SystemExit("--pipeline raw is not supported for extract; "
                          "use python or native")
     pipe = _make_pipeline(args, dcfg, train=False, seed=0)
@@ -375,6 +392,18 @@ def cmd_extract(args):
     print(f"wrote {args.output}: " + ", ".join(
         f"{b}{tuple(np.asarray(outs[b]).shape)}" for b in blobs
     ))
+
+
+def cmd_export(args):
+    """Write a trained model back to .caffemodel (Net::ToProto parity) so
+    TPU-fine-tuned weights can be deployed on a Caffe stack."""
+    from eco_tpu.convert import export_caffe_weights
+    from eco_tpu.train import load_model
+
+    graph = _build_graph(args, with_loss=False)
+    params, state = load_model(args.weights)
+    exported = export_caffe_weights(graph, params, state, args.output)
+    print(f"Exported {len(exported)} layers -> {args.output}")
 
 
 def cmd_draw(args):
@@ -401,9 +430,10 @@ def main(argv=None):
         sp.add_argument("--list", default=None)
         sp.add_argument(
             "--pipeline", default="python",
-            choices=["python", "native", "raw"],
+            choices=["python", "native", "raw", "native-raw"],
             help="data plane: python loader, C++ libecodata, or raw uint8 "
-                 "with on-device (Pallas) crop/mirror/mean",
+                 "with on-device (Pallas) crop/mirror/mean (raw = python "
+                 "decode, native-raw = C++ decode)",
         )
 
     sp = sub.add_parser("train")
@@ -424,6 +454,10 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--iters", type=int, default=10)
     sp.add_argument("--bf16", action="store_true")
+    sp.add_argument("--method", default="auto",
+                    choices=["auto", "host", "device_loop"],
+                    help="device_loop = K-vs-1 on-device timing (accurate "
+                         "through remote relays); auto picks it on TPU")
     sp.set_defaults(fn=cmd_time)
 
     sp = sub.add_parser("device-query")
@@ -441,6 +475,12 @@ def main(argv=None):
     sp.add_argument("--weights", required=True)
     sp.add_argument("-o", "--output", required=True)
     sp.set_defaults(fn=cmd_fold)
+
+    sp = sub.add_parser("export")  # model.npz -> .caffemodel
+    common(sp)
+    sp.add_argument("--weights", required=True)
+    sp.add_argument("-o", "--output", required=True)
+    sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("draw")
     common(sp)

@@ -80,10 +80,14 @@ class Trainer:
         step_fn: Optional[Callable] = None,
         log_fn: Callable[[str], None] = print,
         remat: Optional[str] = "auto",
+        process_index: Optional[int] = None,
     ):
         self.cfg = cfg
         self.train_program = train_program
         self.test_program = test_program
+        # injectable rank for snapshot gating (None = jax.process_index());
+        # lets multi-host host-side logic be unit-driven on one host
+        self.process_index = process_index
         if remat == "auto":
             # mem_param { optimize_train: true } in the graph -> remat
             # (the reference's activation-memory optimizer, net.cpp:1080-1277)
@@ -189,7 +193,11 @@ class Trainer:
         # multi-host: only process 0 writes (rank-0 snapshot + barrier
         # semantics of the reference, solver.cpp:523-546); other processes
         # hold identical replicated state so no barrier is needed here.
-        if jax.process_index() != 0:
+        rank = (
+            self.process_index if self.process_index is not None
+            else jax.process_index()
+        )
+        if rank != 0:
             return
         mp, sp = snapshot(self.cfg.snapshot_prefix, ts, int(ts.it))
         self.log(f"Snapshotting to {mp}")

@@ -59,6 +59,11 @@ struct Config {
   int new_width = 0;
   int rank = 0;
   int world = 1;
+  // raw mode: emit resized uint8 frames + per-video (h_off, w_off, mirror)
+  // augment decisions; crop/mirror/mean run on-device (Pallas).  Requires
+  // new_height/new_width; only the fixed-crop-grid augmentation is
+  // expressible on-device (matches VideoPipeline(raw=True)).
+  bool raw = false;
 };
 
 // ---- sampling (video_data_layer.cpp:152-190 semantics) --------------------
@@ -123,6 +128,9 @@ struct Loader {
   std::mt19937_64 shuffle_rng, frame_rng;
   // 2-slot ring: producer fills fill_slot while consumer drains read_slot
   std::vector<float> buf_data[2];
+  std::vector<uint8_t> buf_raw[2];     // raw mode: uint8 frames
+  std::vector<int32_t> buf_offs[2];    // raw mode: (h_off, w_off) per video
+  std::vector<uint8_t> buf_mirror[2];  // raw mode: mirror flag per video
   std::vector<int32_t> buf_label[2];
   int ready_count = 0;  // 0..2 filled, unconsumed slots
   int fill_slot = 0;
@@ -138,6 +146,11 @@ struct Loader {
     return size_t(cfg.segments) * cfg.new_length * cfg.crop * cfg.crop * 3;
   }
   size_t batch_floats() const { return item_floats() * cfg.batch; }
+  size_t item_raw_bytes() const {
+    return size_t(cfg.segments) * cfg.new_length * cfg.new_height *
+           cfg.new_width * 3;
+  }
+  size_t batch_raw_bytes() const { return item_raw_bytes() * cfg.batch; }
 
   void shuffle_records() {
     std::shuffle(records.begin(), records.end(), shuffle_rng);
@@ -151,14 +164,14 @@ struct Loader {
     }
   }
 
-  // Load + transform one video into out[item_floats()].
-  bool load_one(const Record& rec, uint64_t seed, float* out) {
-    std::mt19937_64 rng(seed);
+  // Decode (and resize) one video's sampled frames.
+  bool decode_frames(const Record& rec, std::mt19937_64& rng,
+                     std::vector<cv::Mat>* frames) {
     std::vector<int> offsets;
     sample_offsets(rec.num_frames, cfg, rng, &offsets);
     const int T = cfg.segments * cfg.new_length;
-    std::vector<cv::Mat> frames;
-    frames.reserve(T);
+    frames->clear();
+    frames->reserve(T);
     cv::Mat last;
     char namebuf[512];
     for (int s = 0; s < cfg.segments; ++s) {
@@ -175,9 +188,55 @@ struct Loader {
                        cv::INTER_LINEAR);
           last = img;
         }
-        frames.push_back(img);
+        frames->push_back(img);
       }
     }
+    return true;
+  }
+
+  // Raw mode: decode only; emit uint8 frames + the augment decision the
+  // device-side kernel will apply (fixed-size crop offsets + mirror).
+  bool load_one_raw(const Record& rec, uint64_t seed, uint8_t* out,
+                    int32_t* offs, uint8_t* mirror) {
+    std::mt19937_64 rng(seed);
+    std::vector<cv::Mat> frames;
+    if (!decode_frames(rec, rng, &frames)) return false;
+    const int H = frames[0].rows, W = frames[0].cols, cs = cfg.crop;
+    if (H < cs || W < cs) return false;
+    int h_off = (H - cs) / 2, w_off = (W - cs) / 2;
+    bool do_mirror = false;
+    if (cfg.train) {
+      std::vector<std::pair<int, int>> fo;
+      fill_fix_offsets(H, W, cs, cs, cfg.more_fix_crop, &fo);
+      auto pick =
+          fo[std::uniform_int_distribution<size_t>(0, fo.size() - 1)(rng)];
+      h_off = pick.first;
+      w_off = pick.second;
+      do_mirror =
+          cfg.mirror && std::uniform_int_distribution<int>(0, 1)(rng) == 1;
+    }
+    offs[0] = h_off;
+    offs[1] = w_off;
+    *mirror = do_mirror ? 1 : 0;
+    const size_t frame_bytes = size_t(H) * W * 3;
+    for (size_t t = 0; t < frames.size(); ++t) {
+      const cv::Mat& f = frames[t];
+      uint8_t* dst = out + t * frame_bytes;
+      if (f.isContinuous()) {
+        std::memcpy(dst, f.ptr<uint8_t>(0), frame_bytes);
+      } else {
+        for (int y = 0; y < H; ++y)
+          std::memcpy(dst + size_t(y) * W * 3, f.ptr<uint8_t>(y), size_t(W) * 3);
+      }
+    }
+    return true;
+  }
+
+  // Load + transform one video into out[item_floats()].
+  bool load_one(const Record& rec, uint64_t seed, float* out) {
+    std::mt19937_64 rng(seed);
+    std::vector<cv::Mat> frames;
+    if (!decode_frames(rec, rng, &frames)) return false;
     const int H = frames[0].rows, W = frames[0].cols, cs = cfg.crop;
     if (H < cs || W < cs) return false;
 
@@ -208,7 +267,7 @@ struct Loader {
           cfg.mirror && std::uniform_int_distribution<int>(0, 1)(rng) == 1;
     }
 
-    for (int t = 0; t < T; ++t) {
+    for (int t = 0; t < int(frames.size()); ++t) {
       cv::Mat patch = frames[t](cv::Rect(w_off, h_off, crop_w, crop_h));
       cv::Mat sized;
       if (crop_h != cs || crop_w != cs)
@@ -232,19 +291,35 @@ struct Loader {
     return true;
   }
 
-  void fill_batch(float* data, int32_t* labels) {
+  void fill_batch(int slot) {
+    // per-slot item loader: f32 transformed path or raw uint8 path
     struct Item {
       Record rec;
       uint64_t seed;
-      float* dst;
-      int32_t* label;
+      int idx;
     };
+    float* data = cfg.raw ? nullptr : buf_data[slot].data();
+    uint8_t* raw = cfg.raw ? buf_raw[slot].data() : nullptr;
+    int32_t* offs = cfg.raw ? buf_offs[slot].data() : nullptr;
+    uint8_t* mirrors = cfg.raw ? buf_mirror[slot].data() : nullptr;
+    int32_t* labels = buf_label[slot].data();
+
+    auto load_item = [&](const Record& rec, uint64_t seed, int i) -> bool {
+      try {  // cv::Exception must not escape the thread (std::terminate)
+        if (cfg.raw)
+          return load_one_raw(rec, seed, raw + size_t(i) * item_raw_bytes(),
+                              offs + 2 * i, mirrors + i);
+        return load_one(rec, seed, data + size_t(i) * item_floats());
+      } catch (const std::exception&) {
+        return false;
+      }
+    };
+
     std::vector<Item> items;
     for (int i = 0; i < cfg.batch; ++i) {
       const Record& rec = records[cursor % records.size()];
       advance(1);
-      items.push_back({rec, frame_rng(), data + size_t(i) * item_floats(),
-                       labels + i});
+      items.push_back({rec, frame_rng(), i});
     }
     advance(size_t(cfg.world - 1) * cfg.batch);  // MPI-style cursor shard
     std::atomic<size_t> next(0);
@@ -253,14 +328,8 @@ struct Loader {
       size_t i;
       while ((i = next.fetch_add(1)) < items.size()) {
         Item& it = items[i];
-        *it.label = it.rec.label;
-        bool good = false;
-        try {  // cv::Exception must not escape the thread (std::terminate)
-          good = load_one(it.rec, it.seed, it.dst);
-        } catch (const std::exception&) {
-          good = false;
-        }
-        ok[i] = good ? 1 : 0;
+        labels[it.idx] = it.rec.label;
+        ok[i] = load_item(it.rec, it.seed, it.idx) ? 1 : 0;
       }
     };
     std::vector<std::thread> pool;
@@ -277,18 +346,22 @@ struct Loader {
       while (attempts-- && !good) {
         const Record& rec = records[cursor % records.size()];
         advance(1);
-        *items[i].label = rec.label;
-        try {
-          good = load_one(rec, frame_rng(), items[i].dst);
-        } catch (const std::exception&) {
-          good = false;
-        }
+        labels[items[i].idx] = rec.label;
+        good = load_item(rec, frame_rng(), items[i].idx);
       }
       if (!good) {
         fprintf(stderr,
                 "ecodata: no readable videos while refilling batch slot %zu; "
                 "zero-filling\n", i);
-        std::memset(items[i].dst, 0, item_floats() * sizeof(float));
+        if (cfg.raw) {
+          std::memset(raw + size_t(items[i].idx) * item_raw_bytes(), 0,
+                      item_raw_bytes());
+          offs[2 * items[i].idx] = offs[2 * items[i].idx + 1] = 0;
+          mirrors[items[i].idx] = 0;
+        } else {
+          std::memset(data + size_t(items[i].idx) * item_floats(), 0,
+                      item_floats() * sizeof(float));
+        }
       }
     }
   }
@@ -302,7 +375,7 @@ struct Loader {
         if (stop) return;
         slot = fill_slot;
       }
-      fill_batch(buf_data[slot].data(), buf_label[slot].data());
+      fill_batch(slot);
       {
         std::lock_guard<std::mutex> lk(mu);
         fill_slot ^= 1;
@@ -323,7 +396,7 @@ Loader* eco_loader_create(const char* list_path, int batch, int segments,
                           float mean_b, float mean_g, float mean_r,
                           int fix_crop, int more_fix_crop, int multi_scale,
                           int max_distort, int mirror, int new_height,
-                          int new_width, int rank, int world) {
+                          int new_width, int rank, int world, int raw) {
   auto* l = new Loader();
   Config& c = l->cfg;
   c.batch = batch;
@@ -346,6 +419,11 @@ Loader* eco_loader_create(const char* list_path, int batch, int segments,
   c.new_width = new_width;
   c.rank = rank;
   c.world = world;
+  c.raw = raw != 0;
+  if (c.raw && (new_height <= 0 || new_width <= 0)) {
+    delete l;
+    return nullptr;  // raw mode needs a fixed decode size
+  }
 
   std::ifstream f(list_path);
   if (!f) {
@@ -366,10 +444,16 @@ Loader* eco_loader_create(const char* list_path, int batch, int segments,
   l->frame_rng.seed(seed + 1);
   if (c.shuffle) l->shuffle_records();
   l->cursor = size_t(rank) * batch % l->records.size();
-  l->buf_data[0].resize(l->batch_floats());
-  l->buf_data[1].resize(l->batch_floats());
-  l->buf_label[0].resize(batch);
-  l->buf_label[1].resize(batch);
+  for (int s = 0; s < 2; ++s) {
+    if (c.raw) {
+      l->buf_raw[s].resize(l->batch_raw_bytes());
+      l->buf_offs[s].resize(size_t(batch) * 2);
+      l->buf_mirror[s].resize(batch);
+    } else {
+      l->buf_data[s].resize(l->batch_floats());
+    }
+    l->buf_label[s].resize(batch);
+  }
   l->producer = std::thread([l] { l->producer_loop(); });
   return l;
 }
@@ -380,9 +464,34 @@ int eco_loader_next(Loader* l, float* data, int32_t* labels) {
   std::unique_lock<std::mutex> lk(l->mu);
   l->cv_ready.wait(lk, [&] { return l->stop || l->ready_count > 0; });
   if (l->stop) return -1;
+  if (l->cfg.raw) return -2;  // use eco_loader_next_raw
   int slot = l->read_slot;
   std::memcpy(data, l->buf_data[slot].data(),
               l->batch_floats() * sizeof(float));
+  std::memcpy(labels, l->buf_label[slot].data(),
+              l->cfg.batch * sizeof(int32_t));
+  l->read_slot ^= 1;
+  --l->ready_count;
+  lk.unlock();
+  l->cv_free.notify_one();
+  return 0;
+}
+
+// Raw mode: copies the next batch of resized uint8 frames + augment
+// decisions.  data: batch*S*L*new_height*new_width*3 uint8 (channels-last
+// BGR); offs: batch*2 int32 (h_off, w_off); mirror: batch uint8; labels:
+// batch int32.
+int eco_loader_next_raw(Loader* l, uint8_t* data, int32_t* offs,
+                        uint8_t* mirror, int32_t* labels) {
+  std::unique_lock<std::mutex> lk(l->mu);
+  l->cv_ready.wait(lk, [&] { return l->stop || l->ready_count > 0; });
+  if (l->stop) return -1;
+  if (!l->cfg.raw) return -2;
+  int slot = l->read_slot;
+  std::memcpy(data, l->buf_raw[slot].data(), l->batch_raw_bytes());
+  std::memcpy(offs, l->buf_offs[slot].data(),
+              size_t(l->cfg.batch) * 2 * sizeof(int32_t));
+  std::memcpy(mirror, l->buf_mirror[slot].data(), l->cfg.batch);
   std::memcpy(labels, l->buf_label[slot].data(),
               l->cfg.batch * sizeof(int32_t));
   l->read_slot ^= 1;

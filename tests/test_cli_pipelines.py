@@ -95,9 +95,9 @@ def _write_cfg(tmp_path, dataset):
     return str(net), str(solver)
 
 
-@pytest.mark.parametrize("pipeline", ["python", "native", "raw"])
+@pytest.mark.parametrize("pipeline", ["python", "native", "raw", "native-raw"])
 def test_cli_train_all_pipelines(pipeline, dataset, tmp_path):
-    if pipeline == "native":
+    if pipeline.startswith("native"):
         from eco_tpu.data.native import build_native
 
         try:

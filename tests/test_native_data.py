@@ -132,3 +132,40 @@ def test_native_throughput_smoke(video_root):
         assert dt < 10.0  # 80 videos x 4 frames in <10s is a loose floor
     finally:
         pipe.close()
+
+
+def test_native_raw_mode_contract(video_root):
+    """C++ raw mode: uint8 frames + augment decisions, matching the Python
+    VideoPipeline(raw=True) batch contract (data/h_off/w_off/mirror/label)."""
+    S, crop = 4, 32
+    cfg = VideoDataConfig(
+        source=video_root, batch_size=3, num_segments=S, new_height=48,
+        new_width=56, raw=True,
+        transform=TransformConfig(crop_size=crop, mirror=True,
+                                  more_fix_crop=True),
+    )
+    pipe = NativeVideoPipeline(cfg, train=True, seed=7, num_workers=2)
+    try:
+        b = pipe.next_batch()
+    finally:
+        pipe.close()
+    assert b["data"].dtype == np.uint8
+    assert b["data"].shape == (3, S, 48, 56, 3)
+    assert b["h_off"].shape == (3,) and b["w_off"].shape == (3,)
+    assert b["mirror"].dtype == bool
+    assert (b["h_off"] >= 0).all() and (b["h_off"] <= 48 - crop).all()
+    assert (b["w_off"] >= 0).all() and (b["w_off"] <= 56 - crop).all()
+    # frames are verbatim uint8 pixels (constant-valued synthetic frames)
+    assert b["data"].max() > 0
+    v = b["data"][0, 0]
+    assert int(v.max()) - int(v.min()) <= 25  # one near-constant jpeg frame
+
+    # test phase: center crop offsets, no mirror
+    pipe = NativeVideoPipeline(cfg, train=False, seed=7, num_workers=2)
+    try:
+        b2 = pipe.next_batch()
+    finally:
+        pipe.close()
+    assert (b2["h_off"] == (48 - crop) // 2).all()
+    assert (b2["w_off"] == (56 - crop) // 2).all()
+    assert not b2["mirror"].any()

@@ -238,3 +238,102 @@ def test_mem_param_wires_remat_into_trainer():
         np.asarray(ts1.params["fc8"]["w"]), np.asarray(ts2.params["fc8"]["w"]),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_trainer_snapshot_rank_gating(tmp_path):
+    """Only rank 0 writes snapshots (solver.cpp:523-546); unit-driven with an
+    injected process index (VERDICT r1 #10)."""
+    import itertools
+
+    from eco_tpu.spec.netspec import NetBuilder
+    from eco_tpu.train.loop import Trainer
+    from eco_tpu.train.solver import SolverConfig
+
+    b = NetBuilder("t")
+    x = b.input("data", (4, 6))
+    y = b.fc("fc", x, 3)
+    b.layer("loss", "softmaxwithloss", [y, b.input("label", (4,))])
+    g = b.build()
+    prog = Program(g, train=True)
+    rng = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            yield {
+                "data": rng.standard_normal((1, 4, 6)).astype(np.float32),
+                "label": rng.integers(0, 3, (1, 4)),
+            }
+
+    for rank, expect_files in ((1, 0), (0, 1)):
+        prefix = str(tmp_path / f"r{rank}" / "snap")
+        cfg = SolverConfig(
+            base_lr=0.01, lr_policy="fixed", max_iter=2, iter_size=1,
+            solver_type="sgd", snapshot=2, snapshot_prefix=prefix,
+            display=0, momentum=0.0,
+        )
+        tr = Trainer(prog, cfg, process_index=rank, log_fn=lambda s: None)
+        it = batches()
+        first = next(it)
+        ts = tr.init_state({k: v[0] for k, v in first.items()})
+        tr.solve(ts, itertools.chain([first], it))
+        import glob
+
+        files = glob.glob(prefix + "*")
+        assert len(files) == (expect_files * 2), (rank, files)
+
+
+def test_distributed_init_single_host_noop_and_error_surface(monkeypatch):
+    from eco_tpu.parallel.mesh import distributed_init
+
+    # plain single host: no cluster env, no args -> no-op (must not raise)
+    from eco_tpu.parallel.mesh import _CLUSTER_ENV_VARS
+
+    for var in _CLUSTER_ENV_VARS:
+        monkeypatch.delenv(var, raising=False)
+    distributed_init()
+    # cluster-ish env (TPU VM single host) with failed auto-detection: no-op
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    distributed_init()
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+
+    # explicit bad config must SURFACE, not be swallowed
+    import pytest
+
+    called = {}
+
+    def fake_init(**kw):
+        called.update(kw)
+        raise RuntimeError("bad coordinator address")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    with pytest.raises(RuntimeError, match="bad coordinator"):
+        distributed_init(coordinator_address="1.2.3.4:99999",
+                         num_processes=2, process_id=0)
+    assert called["num_processes"] == 2
+
+    # benign re-initialization is swallowed
+    def fake_already(**kw):
+        raise RuntimeError("distributed system is already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_already)
+    distributed_init(coordinator_address="1.2.3.4:1234", num_processes=2,
+                     process_id=0)
+
+
+def test_time_layers_device_loop_method():
+    from eco_tpu.runtime.profiler import time_layers
+    from eco_tpu.spec.netspec import NetBuilder
+
+    b = NetBuilder("t")
+    x = b.input("data", (2, 8, 8, 3))
+    x = b.conv("c", x, 4, k=3, s=1, p=1)
+    b.layer("probs", "softmax", b.fc("fc", b.layer("gap", "global_avg_pool", x), 3))
+    g = b.build()
+    prog = Program(g, train=False)
+    data = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 8, 3)),
+                       jnp.float32)
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    rows = time_layers(prog, params, state, {"data": data}, iters=3,
+                       method="device_loop")
+    assert len(rows) == len(prog.exec_layers)
+    assert all(np.isfinite(r[2]) and r[2] >= 0 for r in rows)
