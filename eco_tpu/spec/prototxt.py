@@ -428,3 +428,50 @@ def graph_from_prototxt(text: str, *, name: str = None) -> GraphSpec:
     }
     graph.layers = _peephole(raw, data_tops)
     return graph
+
+
+# ---------------------------------------------------------------------------
+# NetParameter dict -> protobuf text (the inverse of parse_prototxt)
+# ---------------------------------------------------------------------------
+
+# caffe.proto fields whose string-ish values are *enum tokens* (emitted bare),
+# not protobuf strings (emitted quoted).  Everything else that parses as str
+# is a real string field (name/type/bottom/top/source/lr_policy/...).
+_ENUM_FIELDS = {
+    "pool", "phase", "modality", "operation", "norm_region", "engine",
+    "backend", "share_mode", "variance_norm", "solver_mode", "solver_type",
+    "snapshot_format", "db", "round_mode",
+}
+
+
+def _format_value(key: str, v: Any) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        if key in _ENUM_FIELDS:
+            return v
+        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def format_prototxt(net: dict, _indent: int = 0) -> str:
+    """Nested NetParameter dict -> protobuf text format.
+
+    Inverse of :func:`parse_prototxt` up to formatting: repeated fields
+    (lists) are emitted as repeated scalar/message entries (never the fork's
+    ``[a, b, c]`` bracket extension, so output stays stock-Caffe readable).
+    Used by ``eco upgrade`` (tools/upgrade_net_proto_text.cpp parity).
+    """
+    pad = "  " * _indent
+    lines = []
+    for key, value in net.items():
+        items = value if isinstance(value, list) else [value]
+        for item in items:
+            if isinstance(item, dict):
+                body = format_prototxt(item, _indent + 1)
+                lines.append(f"{pad}{key} {{\n{body}{pad}}}")
+            else:
+                lines.append(f"{pad}{key}: {_format_value(key, item)}")
+    return "".join(l + "\n" for l in lines)

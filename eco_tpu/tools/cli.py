@@ -406,6 +406,29 @@ def cmd_export(args):
     print(f"Exported {len(exported)} layers -> {args.output}")
 
 
+def cmd_upgrade(args):
+    """V1-text -> V2-text prototxt upgrade (upgrade_net_proto_text.cpp).
+
+    Weight-file (binary NetParameter) upgrades are covered by
+    ``eco convert`` instead, which reads V0/V1/V2 wire format directly
+    (upgrade_net_proto_binary.cpp has no separate role on this stack).
+    """
+    from eco_tpu.spec.prototxt import (
+        format_prototxt, parse_prototxt, upgrade_v1_net,
+    )
+
+    with open(args.input) as f:
+        net = parse_prototxt(f.read())
+    if "layers" not in net:
+        print(f"File already in latest proto format: {args.input}")
+        upgraded = net
+    else:
+        upgraded = upgrade_v1_net(net)
+    with open(args.output, "w") as f:
+        f.write(format_prototxt(upgraded))
+    print(f"Wrote upgraded NetParameter text proto to {args.output}")
+
+
 def cmd_draw(args):
     from eco_tpu.tools.draw import to_dot
 
@@ -493,6 +516,14 @@ def main(argv=None):
     sp.add_argument("--weights", default=None)
     sp.add_argument("--classes", default=None, help="class-name list file")
     sp.set_defaults(fn=cmd_online)
+
+    sp = sub.add_parser(
+        "upgrade",  # tools/upgrade_net_proto_text.cpp parity
+        help="upgrade a V1 prototxt (layers{type: ENUM}) to V2 text format",
+    )
+    sp.add_argument("input")
+    sp.add_argument("output")
+    sp.set_defaults(fn=cmd_upgrade)
 
     sp = sub.add_parser("extract")  # extract_features parity
     common(sp)

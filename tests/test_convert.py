@@ -510,3 +510,48 @@ layers { name: "prob" type: SOFTMAX bottom: "fc" top: "prob" }
             'layers { layer { name: "c" type: "conv" num_output: 2 } '
             'bottom: "data" top: "c" }'
         )
+
+
+def test_format_prototxt_roundtrip_and_upgrade_cli(tmp_path):
+    """format_prototxt inverts parse_prototxt, and `eco upgrade` writes a V2
+    text file that imports to the same graph as the V1 original
+    (tools/upgrade_net_proto_text.cpp parity)."""
+    from eco_tpu.spec.prototxt import format_prototxt, upgrade_v1_net
+    from eco_tpu.tools.cli import main as cli_main
+
+    v1 = '''
+name: "v1net"
+input: "data"
+input_dim: 1 input_dim: 3 input_dim: 8 input_dim: 8
+layers {
+  name: "conv1" type: CONVOLUTION bottom: "data" top: "conv1"
+  blobs_lr: 1 blobs_lr: 2
+  convolution_param { num_output: 4 kernel_size: 3 pad: 1 }
+}
+layers { name: "relu1" type: RELU bottom: "conv1" top: "conv1" }
+layers { name: "pool1" type: POOLING bottom: "conv1" top: "pool1"
+  pooling_param { pool: MAX kernel_size: 2 stride: 2 } }
+layers { name: "prob" type: SOFTMAX bottom: "pool1" top: "prob" }
+'''
+    # pure round-trip: parse(format(net)) == net (incl. enum vs string split)
+    net = upgrade_v1_net(parse_prototxt(v1))
+    assert parse_prototxt(format_prototxt(net)) == net
+
+    src = tmp_path / "v1.prototxt"
+    dst = tmp_path / "v2.prototxt"
+    src.write_text(v1)
+    cli_main(["upgrade", str(src), str(dst)])
+    out = dst.read_text()
+    assert "layers" not in out.split("conv1")[0]  # V2 uses `layer {`
+    assert 'type: "Convolution"' in out and "pool: MAX" in out
+
+    g1 = graph_from_prototxt(v1)
+    g2 = graph_from_prototxt(out)
+    assert [l.type for l in g1.layers] == [l.type for l in g2.layers]
+    assert [l.name for l in g1.layers] == [l.name for l in g2.layers]
+    assert g1.layer("conv1").params[1].lr_mult == g2.layer("conv1").params[1].lr_mult == 2
+
+    # already-V2 files pass through unchanged semantically
+    dst2 = tmp_path / "v2b.prototxt"
+    cli_main(["upgrade", str(dst), str(dst2)])
+    assert parse_prototxt(dst2.read_text()) == parse_prototxt(out)
