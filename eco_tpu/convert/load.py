@@ -163,11 +163,14 @@ def fold_bn(graph: GraphSpec, params: Mapping, state: Mapping,
         l = l.replace(bottoms=bottoms, tops=resolve(l.tops))
         if l.type == "bn":
             src = producer.get(l.bottoms[0])
-            g = np.asarray(new_params[l.name]["gamma"], np.float64)
-            b = np.asarray(new_params[l.name]["beta"], np.float64)
-            m = np.asarray(new_state[l.name]["mean"], np.float64)
-            v = np.asarray(new_state[l.name]["var"], np.float64)
-            scale = g / np.sqrt(v + eps)
+            # Stay in jnp/f32 on device: np.asarray here would be a
+            # synchronous device->host fetch per blob (hundreds of relay
+            # round-trips on a remote chip); jnp ops dispatch async.
+            g = jnp.asarray(new_params[l.name]["gamma"], jnp.float32)
+            b = jnp.asarray(new_params[l.name]["beta"], jnp.float32)
+            m = jnp.asarray(new_state[l.name]["mean"], jnp.float32)
+            v = jnp.asarray(new_state[l.name]["var"], jnp.float32)
+            scale = g / jnp.sqrt(v + eps)
             shift = b - m * scale
             foldable = (
                 src is not None
@@ -177,10 +180,11 @@ def fold_bn(graph: GraphSpec, params: Mapping, state: Mapping,
             )
             if foldable:
                 sp = new_params[src.name]
-                w = np.asarray(sp["w"], np.float64)
-                sp["w"] = jnp.asarray(w * scale, jnp.float32)
-                bias = np.asarray(sp.get("b", np.zeros(w.shape[-1])), np.float64)
-                sp["b"] = jnp.asarray(bias * scale + shift, jnp.float32)
+                w = jnp.asarray(sp["w"], jnp.float32)
+                sp["w"] = w * scale
+                bias = (jnp.asarray(sp["b"], jnp.float32) if "b" in sp
+                        else jnp.zeros((w.shape[-1],), jnp.float32))
+                sp["b"] = bias * scale + shift
                 # BN's top now refers to the conv's output
                 rename[l.tops[0]] = l.bottoms[0]
                 del new_params[l.name]
@@ -190,10 +194,7 @@ def fold_bn(graph: GraphSpec, params: Mapping, state: Mapping,
             new_layers.append(
                 LayerSpec(l.name, "scale", l.bottoms, l.tops, {}, l.phase)
             )
-            new_params[l.name] = {
-                "scale": jnp.asarray(scale, jnp.float32),
-                "shift": jnp.asarray(shift, jnp.float32),
-            }
+            new_params[l.name] = {"scale": scale, "shift": shift}
             new_state.pop(l.name, None)
             continue
         new_layers.append(l)

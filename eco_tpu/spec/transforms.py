@@ -84,7 +84,9 @@ def merge_sibling_1x1_convs(graph: GraphSpec, params: Mapping, state: Mapping):
         convs = sorted(convs, key=lambda l: index[l.name])
         chains = [chain_of(c) for c in convs]
         bns = [c[0] for c in chains]
-        widths = [int(np.asarray(params[c.name]["w"]).shape[-1]) for c in convs]
+        # jnp.shape, not np.asarray(...).shape: the latter fetches the whole
+        # blob to host (a sync relay round-trip per conv on a remote chip)
+        widths = [int(jnp.shape(params[c.name]["w"])[-1]) for c in convs]
         mname = convs[0].name + "__merged"
         # merged conv params
         w = jnp.concatenate([jnp.asarray(params[c.name]["w"]) for c in convs], -1)
