@@ -21,6 +21,8 @@ with ``lax.reduce_window``.  Caffe specifics reproduced exactly:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -66,6 +68,12 @@ def pool_nd(
 
     mode = mode.lower()
     if mode == "max":
+        if os.environ.get("ECO_PALLAS_POOL") == "1":
+            from eco_tpu.ops.pallas import poolfuse
+
+            if (poolfuse.supports(x.shape, kernel, stride, pad, mode)
+                    and jax.default_backend() == "tpu"):
+                return poolfuse.fused_maxpool_3x3s2(x)
         init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
         return lax.reduce_window(x, init, lax.max, window, strides, padding)
     if mode in ("ave", "avg", "mean"):

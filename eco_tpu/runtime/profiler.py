@@ -89,9 +89,13 @@ def _device_loop_ms(fn, args, iters: int) -> float:
         return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
     def timed(n):
-        jax.block_until_ready(run(n, *leaves))  # compile + warm
+        # float() scalar fetch, NOT block_until_ready: through the axon
+        # relay block_until_ready can return before compute finishes (on
+        # both AOT and jit results); a host fetch of the loop-carried
+        # scalar cannot -- the value only exists once the loop ran.
+        float(run(n, *leaves))  # compile + warm
         t0 = time.perf_counter()
-        jax.block_until_ready(run(n, *leaves))
+        float(run(n, *leaves))
         return time.perf_counter() - t0
 
     t1 = timed(1)
