@@ -584,7 +584,13 @@ class Program:
     # -- initialization ----------------------------------------------------
 
     def init(self, rng: jax.Array, sample_inputs: Mapping[str, Any]):
-        """Build (params, state) from input shapes; pure shape propagation."""
+        """Build (params, state) from input shapes.
+
+        Shape propagation is fully abstract (``jax.eval_shape``); the actual
+        filler arrays are then built by ONE jitted program, so init costs a
+        single device dispatch instead of one per parameter (hundreds of
+        ~30 ms round-trips on a relay-attached chip).
+        """
         blobs = {
             k: jax.ShapeDtypeStruct(jnp.shape(v), jnp.result_type(v))
             for k, v in sample_inputs.items()
@@ -592,52 +598,60 @@ class Program:
         missing = [n for n in self.input_names if n not in blobs]
         if missing:
             raise ValueError(f"sample_inputs missing {missing}")
-        params: dict = {}
-        state: dict = {}
+        fill_jobs: list = []   # (lname, pname, shape, dtype, filler)
+        state_jobs: list = []  # (lname, sname, shape, dtype, value)
         ctx = Context(train=False, rng=None)
-        shared_owner: dict[str, Any] = {}  # shared name -> owner's array
+        shared_owner: dict[str, jax.ShapeDtypeStruct] = {}
         for layer in self.exec_layers:
             impl = get_impl(layer.type)
             in_structs = [blobs[b] for b in layer.bottoms]
             in_shapes = [s.shape for s in in_structs]
             pspecs = impl.param_specs(layer, in_shapes)
             snames = self._shared_specs.get(layer.name, {})
-            lp = {}       # owned params (stored in the tree)
-            lp_exec = {}  # owned + aliased (what apply will see)
+            lp_exec = {}  # owned + aliased placeholder structs
             for i, (pname, (shape, dtype, filler)) in enumerate(pspecs.items()):
                 sname = snames.get(i)
                 if sname is not None and sname in shared_owner:
                     owner = shared_owner[sname]
-                    if tuple(jnp.shape(owner)) != tuple(shape):
+                    if tuple(owner.shape) != tuple(shape):
                         raise ValueError(
                             f"layer {layer.name!r} shares param {sname!r} with "
-                            f"shape {shape}, owner has {jnp.shape(owner)}"
+                            f"shape {shape}, owner has {owner.shape}"
                         )
                     lp_exec[pname] = owner
                     continue
-                sub = jax.random.fold_in(rng, zlib.crc32(f"{layer.name}/{pname}".encode()))
-                arr = fill(sub, shape, dtype, filler)
-                lp[pname] = lp_exec[pname] = arr
+                ph = jax.ShapeDtypeStruct(tuple(shape), jnp.dtype(dtype))
+                lp_exec[pname] = ph
+                fill_jobs.append((layer.name, pname, tuple(shape), dtype, filler))
                 if sname is not None:
-                    shared_owner[sname] = arr
-            if lp:
-                params[layer.name] = lp
+                    shared_owner[sname] = ph
             sspecs = impl.state_specs(layer, in_shapes)
-            ls = {
-                sname: jnp.full(shape, val, dtype)
-                for sname, (shape, dtype, val) in sspecs.items()
-            }
-            if ls:
-                state[layer.name] = ls
+            ls = {}
+            for sname, (shape, dtype, val) in sspecs.items():
+                ls[sname] = jax.ShapeDtypeStruct(tuple(shape), jnp.dtype(dtype))
+                state_jobs.append((layer.name, sname, tuple(shape), dtype, val))
 
-            def shape_fn(*xs, impl=impl, layer=layer, lp_exec=lp_exec, ls=ls):
-                outs, _ = impl.apply(layer, lp_exec, ls, list(xs), ctx)
+            def shape_fn(xs, lp, ls, impl=impl, layer=layer):
+                outs, _ = impl.apply(layer, lp, ls, list(xs), ctx)
                 return outs
 
-            out_structs = jax.eval_shape(shape_fn, *in_structs)
+            out_structs = jax.eval_shape(shape_fn, in_structs, lp_exec, ls)
             for t, o in zip(layer.tops, out_structs):
                 blobs[t] = o
-        return params, state
+
+        def build(rng):
+            params: dict = {}
+            state: dict = {}
+            for lname, pname, shape, dtype, filler in fill_jobs:
+                sub = jax.random.fold_in(
+                    rng, zlib.crc32(f"{lname}/{pname}".encode()))
+                params.setdefault(lname, {})[pname] = fill(
+                    sub, shape, dtype, filler)
+            for lname, sname, shape, dtype, val in state_jobs:
+                state.setdefault(lname, {})[sname] = jnp.full(shape, val, dtype)
+            return params, state
+
+        return jax.jit(build)(rng)
 
     # -- execution ----------------------------------------------------------
 
