@@ -129,11 +129,31 @@ def time_layers(
     """
     if rng is None and program.train:
         rng = jax.random.PRNGKey(0)
-    blobs = _run_collect(program, params, state, inputs, rng=rng)
+    import jax.numpy as jnp
+
     ctx = Context(train=program.train, rng=rng, compute_dtype=program.compute_dtype)
     rows = []
     if method == "auto":
         method = "device_loop" if jax.default_backend() == "tpu" else "host"
+
+    # Stream blob values instead of precollecting all of them: holding every
+    # intermediate of a large-batch run at once OOMs HBM (observed at 1536
+    # frames on a 16 GB chip).  Track per-blob consumer counts and free each
+    # value after its last consuming layer was benched.
+    remaining: dict = {}
+    for l in program.exec_layers:
+        for b in l.bottoms:
+            remaining[b] = remaining.get(b, 0) + 1
+    blobs = {}
+    for k, v in inputs.items():
+        v = jnp.asarray(v)
+        if (
+            program.compute_dtype is not None
+            and jnp.issubdtype(v.dtype, jnp.floating)
+            and v.ndim >= 3
+        ):
+            v = v.astype(program.compute_dtype)
+        blobs[k] = v
 
     def bench(fn, args):
         if method == "device_loop":
@@ -176,6 +196,15 @@ def time_layers(
             rows.append((layer.name, layer.type, fwd_ms, max(bwd_ms, 0.0)))
         else:
             rows.append((layer.name, layer.type, fwd_ms))
+
+        outs, _ = impl.apply(layer, lp, ls, ins, ctx)
+        del ins
+        for b in layer.bottoms:
+            remaining[b] -= 1
+            if remaining[b] == 0:
+                blobs.pop(b, None)  # free before in-place tops re-assign
+        for t, o in zip(layer.tops, outs):
+            blobs[t] = o
     return rows
 
 
