@@ -108,31 +108,25 @@ def oversample_flow_video(
     (VideoTemporalPrediction.py:33-43).  Flow frames live in ``flow_x/`` and
     ``flow_y/`` subdirs named by ``name_pattern`` (our reader convention).
     """
-    import cv2
+    from eco_tpu.data.reader import read_segment_flow
 
     L = optical_flow_frames
     step = max(1, (n_video_frames - L + 1) // num_samples)
-    samples = []
-    last = None
-    for i in range(num_samples):
-        chans = []
-        for j in range(L):
-            fidx = min(i * step + j, n_video_frames - 1)
-            name = name_pattern % (fidx + 1)
-            fx = cv2.imread(os.path.join(video_path, "flow_x", name),
-                            cv2.IMREAD_GRAYSCALE)
-            fy = cv2.imread(os.path.join(video_path, "flow_y", name),
-                            cv2.IMREAD_GRAYSCALE)
-            if fx is None or fy is None:
-                if last is None:
-                    raise FileNotFoundError(os.path.join(video_path, name))
-                fx, fy = last
-            else:
-                fx = cv2.resize(fx, (resize_hw[1], resize_hw[0]))
-                fy = cv2.resize(fy, (resize_hw[1], resize_hw[0]))
-                last = (fx, fy)
-            chans += [fx, fy]
-        samples.append(np.stack(chans, axis=-1))  # (H, W, 2L)
+    idx = np.minimum(
+        np.arange(num_samples)[:, None] * step + np.arange(L)[None, :],
+        n_video_frames - 1,
+    )  # (num_samples, L)
+    pairs = read_segment_flow(
+        video_path, idx, name_pattern=name_pattern,
+        new_height=resize_hw[0], new_width=resize_hw[1],
+    )  # (num_samples*L, H, W, 2), channel 0 = flow_x, 1 = flow_y
+    h, w = pairs.shape[1:3]
+    # (S, L, H, W, 2) -> (S, H, W, L*2): channels [fx_0, fy_0, fx_1, fy_1...]
+    samples = list(
+        pairs.reshape(num_samples, L, h, w, 2)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(num_samples, h, w, 2 * L)
+    )
     crops = np.stack(
         [ten_crop_flow(s.astype(np.float32), crop) for s in samples]
     )  # (num_samples, 10, crop, crop, 2L)

@@ -108,8 +108,28 @@ def export_caffe_weights(graph, params: Mapping, state: Mapping, path: str,
     """
     out = _ld(1, (net_name or graph.name or "net").encode())
     exported = []
+    # Cross-layer param sharing (ParamSpec.name): aliased layers own no
+    # entry in the params tree, so resolve each share name to its owner's
+    # array and export the blobs on EVERY sharing layer -- Caffe stores
+    # blobs per layer even when `param { name }` ties them together.
+    _PORDER = {
+        "convolution": ("w", "b"), "deconvolution": ("w", "b"),
+        "innerproduct": ("w", "b"), "bn": ("gamma", "beta"),
+        "scale": ("scale", "shift"),
+    }
+    shared_owner: dict = {}
     for layer in graph.layers:
-        lp = params.get(layer.name, {})
+        lp = dict(params.get(layer.name, {}))
+        pnames = _PORDER.get(layer.type.lower(), ())
+        for i, ps in enumerate(layer.params):
+            sname = getattr(ps, "name", None)
+            if not sname or i >= len(pnames):
+                continue
+            pn = pnames[i]
+            if pn in lp:
+                shared_owner.setdefault(sname, lp[pn])
+            elif sname in shared_owner:
+                lp[pn] = shared_owner[sname]
         ls = state.get(layer.name, {})
         if not lp and not ls:
             continue

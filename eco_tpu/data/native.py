@@ -103,6 +103,14 @@ class NativeVideoPipeline:
             )
         if cfg.raw and not (cfg.new_height and cfg.new_width):
             raise ValueError("raw mode needs new_height/new_width (fixed size)")
+        if cfg.raw and train and t.multi_scale:
+            # the on-device kernel crops at a FIXED size; refuse rather than
+            # silently train with weaker augmentation (same rule as the
+            # python pipeline's raw mode)
+            raise ValueError(
+                "raw mode cannot honor transform.multi_scale (fixed-size "
+                "on-device crop); set multi_scale=False or use a f32 pipeline"
+            )
         self.cfg = cfg
         self._lib = lib
         source = cfg.source

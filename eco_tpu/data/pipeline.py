@@ -74,6 +74,15 @@ class VideoPipeline:
             raise ValueError("empty video list")
         if cfg.raw and not (cfg.new_height and cfg.new_width):
             raise ValueError("raw mode needs new_height/new_width (fixed size)")
+        if cfg.raw and train and cfg.transform.multi_scale:
+            # the on-device kernel crops at a FIXED size; multi-scale needs a
+            # variable crop + resize.  Refuse instead of silently training
+            # with weaker augmentation (set transform.multi_scale=False, or
+            # use the python/native f32 pipelines for multi-scale).
+            raise ValueError(
+                "raw mode cannot honor transform.multi_scale (fixed-size "
+                "on-device crop); set multi_scale=False or use a f32 pipeline"
+            )
         # twin-seeded RNGs like the reference (video_data_layer.cpp:126-131)
         self._shuffle_rng = np.random.default_rng(seed)
         self._frame_rng = np.random.default_rng(seed + 1)
@@ -125,10 +134,14 @@ class VideoPipeline:
             h, w = stack.shape[1:3]
             cs = t.crop_size
             if self.train:
-                from eco_tpu.data.transform import fill_fix_offsets
+                if t.fix_crop:
+                    from eco_tpu.data.transform import fill_fix_offsets
 
-                offs = fill_fix_offsets(h, w, cs, cs, t.more_fix_crop)
-                h_off, w_off = offs[rng.integers(0, len(offs))]
+                    offs = fill_fix_offsets(h, w, cs, cs, t.more_fix_crop)
+                    h_off, w_off = offs[rng.integers(0, len(offs))]
+                else:  # uniform random offsets, matching transform_stack
+                    h_off = int(rng.integers(0, h - cs + 1))
+                    w_off = int(rng.integers(0, w - cs + 1))
                 mirror = bool(t.mirror and rng.integers(0, 2))
             else:
                 h_off, w_off = (h - cs) // 2, (w - cs) // 2

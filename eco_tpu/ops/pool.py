@@ -71,7 +71,10 @@ def pool_nd(
         if os.environ.get("ECO_PALLAS_POOL") == "1":
             from eco_tpu.ops.pallas import poolfuse
 
-            if (poolfuse.supports(x.shape, kernel, stride, pad, mode)
+            # floating only: the kernel's clipped-window fill is a float
+            # -inf surrogate, undefined when cast to integer dtypes
+            if (jnp.issubdtype(x.dtype, jnp.floating)
+                    and poolfuse.supports(x.shape, kernel, stride, pad, mode)
                     and jax.default_backend() == "tpu"):
                 return poolfuse.fused_maxpool_3x3s2(x)
         init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min

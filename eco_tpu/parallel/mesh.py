@@ -28,40 +28,61 @@ MODEL_AXIS = "model"
 
 
 _CLUSTER_ENV_VARS = (
-    # jax.distributed auto-detection sources (clusters the reference reached
-    # via mpirun, train_action_recognition_rgb.sh:1-8)
+    # cluster launchers jax.distributed can auto-detect (the reference
+    # reached these via mpirun, train_action_recognition_rgb.sh:1-8), plus
+    # managed environments whose detection runs without any of the classic
+    # scheduler vars (GKE, Cloud TPU pods via the GCE metadata server)
     "JAX_COORDINATOR_ADDRESS",
     "COORDINATOR_ADDRESS",
     "SLURM_JOB_ID",
     "OMPI_COMM_WORLD_SIZE",
     "TPU_WORKER_HOSTNAMES",
     "MEGASCALE_COORDINATOR_ADDRESS",
+    "KUBERNETES_SERVICE_HOST",
+    "TPU_WORKER_ID",
+    "CLOUD_TPU_TASK_ID",
 )
 
 
 def distributed_init(**kwargs) -> None:
     """Multi-host bootstrap (MPI_Init equivalent).
 
-    No-op on a plain single-host launch (no explicit config and no cluster
-    environment detected).  Real configuration errors -- bad coordinator
-    address, inconsistent process counts -- PROPAGATE; only the benign
-    "already initialized" case is swallowed.
+    Always attempts ``jax.distributed.initialize`` so auto-detection paths
+    that need no env vars (Cloud TPU pod metadata, K8s cluster classes) are
+    never skipped.  Failure classification: "no cluster detected" (missing
+    coordinator_address from auto-detection) is the benign single-host case
+    and becomes a no-op; any error with explicit user config, and any
+    join-failure on a DETECTED cluster (unreachable coordinator,
+    inconsistent process counts), PROPAGATES -- a host silently falling back
+    to single-process while its peers formed the cluster would train
+    un-synchronized.  "Already initialized" is always swallowed.
     """
-    import os
 
     explicit = any(v is not None for v in kwargs.values()) if kwargs else False
-    if not explicit and not any(v in os.environ for v in _CLUSTER_ENV_VARS):
-        return  # single host, nothing to initialize
     try:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError) as e:
-        if "already" in str(e).lower():
+        msg = str(e).lower()
+        if "already" in msg:
             return  # initialized earlier in this process
         if explicit:
             raise  # user-supplied config is wrong -- surface it
-        # auto path: cluster-ish env vars present but no usable coordinator
-        # was detected (e.g. a TPU VM env on a single host) -> single-process
-        return
+        if ("coordinator_address" in msg or "could not find" in msg
+                or "unable to detect" in msg or "auto-detect" in msg):
+            # auto-detection found NO cluster (plain single host, incl. a
+            # single-host TPU VM where TPU_WORKER_HOSTNAMES is still set)
+            # -> single-process is the correct outcome
+            return
+        if "must be called before" in msg:
+            # the XLA backend is already up, so this is a LATE auto call in
+            # an already-running single-process program; its process layout
+            # is locked in either way -> no-op
+            return
+        # auto-detection DID find a cluster but joining it failed
+        # (unreachable coordinator, inconsistent process counts, barrier
+        # timeouts).  Falling back silently would leave this host training
+        # un-synchronized while its peers formed the cluster -- surface it.
+        raise
 
 
 def make_mesh(

@@ -581,6 +581,19 @@ class Program:
             if any(ps.name for ps in l.params)
         }
 
+    def cast_input(self, v):
+        """The ONE input-cast policy: float feature tensors (ndim >= 3) go to
+        compute_dtype; labels/scalars keep their dtype.  Used by apply and
+        the profiler so timings see exactly what production runs."""
+        v = jnp.asarray(v)
+        if (
+            self.compute_dtype is not None
+            and jnp.issubdtype(v.dtype, jnp.floating)
+            and v.ndim >= 3
+        ):
+            v = v.astype(self.compute_dtype)
+        return v
+
     # -- initialization ----------------------------------------------------
 
     def init(self, rng: jax.Array, sample_inputs: Mapping[str, Any]):
@@ -683,13 +696,7 @@ class Program:
                     f"input {k!r}: shape {v.shape} does not match declared "
                     f"{declared} (non-batch dims must agree)"
                 )
-            if (
-                self.compute_dtype is not None
-                and jnp.issubdtype(v.dtype, jnp.floating)
-                and v.ndim >= 3
-            ):
-                v = v.astype(self.compute_dtype)
-            blobs[k] = v
+            blobs[k] = self.cast_input(v)
         new_state = dict(state)
         shared_owner: dict[str, Any] = {}  # shared name -> owner array (live)
         for layer in self.exec_layers:

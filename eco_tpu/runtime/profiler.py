@@ -28,18 +28,7 @@ def _run_collect(program, params, state, inputs, *, rng=None):
     if rng is None and program.train:
         rng = jax.random.PRNGKey(0)  # dropout etc. need a key in train mode
     ctx = Context(train=program.train, rng=rng, compute_dtype=program.compute_dtype)
-    blobs = dict(inputs)
-    for k, v in list(blobs.items()):
-        import jax.numpy as jnp
-
-        v = jnp.asarray(v)
-        if (
-            program.compute_dtype is not None
-            and jnp.issubdtype(v.dtype, jnp.floating)
-            and v.ndim >= 3
-        ):
-            v = v.astype(program.compute_dtype)
-        blobs[k] = v
+    blobs = {k: program.cast_input(v) for k, v in inputs.items()}
     for layer in program.exec_layers:
         impl = get_impl(layer.type)
         ins = [blobs[b] for b in layer.bottoms]
@@ -72,6 +61,22 @@ def _device_loop_ms(fn, args, iters: int) -> float:
          if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.inexact)),
         None,
     )
+    if f_idx is None:
+        # No float leaf to perturb -> the loop body would be loop-invariant
+        # and XLA would hoist it, reporting ~0 ms.  Fall back to host-loop
+        # timing with a scalar-fetch barrier per call (includes dispatch
+        # latency, but is honest; int-only layers are cheap anyway).
+        run1 = jax.jit(
+            lambda *ls: sum(
+                jnp.sum(o.astype(jnp.float32))
+                for o in jax.tree.leaves(fn(*jax.tree.unflatten(treedef, ls)))
+            )
+        )
+        float(run1(*leaves))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(max(iters, 2)):
+            float(run1(*leaves))
+        return (time.perf_counter() - t0) / max(iters, 2) * 1e3
 
     @functools.partial(jax.jit, static_argnums=0)
     def run(n, *leaves):
@@ -144,16 +149,7 @@ def time_layers(
     for l in program.exec_layers:
         for b in l.bottoms:
             remaining[b] = remaining.get(b, 0) + 1
-    blobs = {}
-    for k, v in inputs.items():
-        v = jnp.asarray(v)
-        if (
-            program.compute_dtype is not None
-            and jnp.issubdtype(v.dtype, jnp.floating)
-            and v.ndim >= 3
-        ):
-            v = v.astype(program.compute_dtype)
-        blobs[k] = v
+    blobs = {k: program.cast_input(v) for k, v in inputs.items()}
 
     def bench(fn, args):
         if method == "device_loop":

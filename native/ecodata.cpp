@@ -206,12 +206,19 @@ struct Loader {
     int h_off = (H - cs) / 2, w_off = (W - cs) / 2;
     bool do_mirror = false;
     if (cfg.train) {
-      std::vector<std::pair<int, int>> fo;
-      fill_fix_offsets(H, W, cs, cs, cfg.more_fix_crop, &fo);
-      auto pick =
-          fo[std::uniform_int_distribution<size_t>(0, fo.size() - 1)(rng)];
-      h_off = pick.first;
-      w_off = pick.second;
+      // multi_scale cannot be honored here (the device kernel crops at a
+      // fixed size); the python wrapper refuses that config up front.
+      if (cfg.fix_crop) {
+        std::vector<std::pair<int, int>> fo;
+        fill_fix_offsets(H, W, cs, cs, cfg.more_fix_crop, &fo);
+        auto pick =
+            fo[std::uniform_int_distribution<size_t>(0, fo.size() - 1)(rng)];
+        h_off = pick.first;
+        w_off = pick.second;
+      } else {
+        h_off = std::uniform_int_distribution<int>(0, H - cs)(rng);
+        w_off = std::uniform_int_distribution<int>(0, W - cs)(rng);
+      }
       do_mirror =
           cfg.mirror && std::uniform_int_distribution<int>(0, 1)(rng) == 1;
     }

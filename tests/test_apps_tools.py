@@ -274,7 +274,8 @@ def test_raw_pipeline_feeds_uint8_server(tmp_path):
     cfg = VideoDataConfig(
         source=str(lst), batch_size=2, num_segments=S, new_height=64,
         new_width=80, raw=True,
-        transform=TransformConfig(crop_size=crop, more_fix_crop=True),
+        transform=TransformConfig(crop_size=crop, more_fix_crop=True,
+                                  multi_scale=False),
     )
     pipe = VideoPipeline(cfg, train=True, seed=0, num_workers=1)
     try:

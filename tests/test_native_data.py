@@ -142,7 +142,7 @@ def test_native_raw_mode_contract(video_root):
         source=video_root, batch_size=3, num_segments=S, new_height=48,
         new_width=56, raw=True,
         transform=TransformConfig(crop_size=crop, mirror=True,
-                                  more_fix_crop=True),
+                                  more_fix_crop=True, multi_scale=False),
     )
     pipe = NativeVideoPipeline(cfg, train=True, seed=7, num_workers=2)
     try:
@@ -169,3 +169,51 @@ def test_native_raw_mode_contract(video_root):
     assert (b2["h_off"] == (48 - crop) // 2).all()
     assert (b2["w_off"] == (56 - crop) // 2).all()
     assert not b2["mirror"].any()
+
+
+def test_raw_mode_refuses_multi_scale(video_root):
+    """raw + train + multi_scale must refuse (fixed-size on-device crop)
+    instead of silently training with weaker augmentation."""
+    import pytest
+
+    cfg = VideoDataConfig(
+        source=video_root, batch_size=2, num_segments=2, new_height=48,
+        new_width=56, raw=True,
+        transform=TransformConfig(crop_size=32, multi_scale=True),
+    )
+    with pytest.raises(ValueError, match="multi_scale"):
+        NativeVideoPipeline(cfg, train=True, seed=0)
+    from eco_tpu.data import VideoPipeline
+
+    with pytest.raises(ValueError, match="multi_scale"):
+        VideoPipeline(cfg, train=True, seed=0)
+    # eval mode (center crop) is fine
+    NativeVideoPipeline(cfg, train=False, seed=0).close()
+
+
+def test_raw_mode_random_offsets_when_fix_crop_off(video_root):
+    """fix_crop=False must give uniform-random offsets (not the fixed grid)
+    in raw mode, in both loaders."""
+    from eco_tpu.data import VideoPipeline
+    from eco_tpu.data.transform import fill_fix_offsets
+
+    cfg = VideoDataConfig(
+        source=video_root, batch_size=4, num_segments=2, new_height=48,
+        new_width=56, raw=True, shuffle=False,
+        transform=TransformConfig(crop_size=32, multi_scale=False,
+                                  fix_crop=False, mirror=False),
+    )
+    grid = set(fill_fix_offsets(48, 56, 32, 32, True))
+    seen = set()
+    for cls, kw in ((VideoPipeline, {}), (NativeVideoPipeline, {"num_workers": 2})):
+        pipe = cls(cfg, train=True, seed=11, **kw)
+        try:
+            for _ in range(6):
+                b = pipe.next_batch()
+                for ho, wo in zip(b["h_off"], b["w_off"]):
+                    assert 0 <= ho <= 16 and 0 <= wo <= 24
+                    seen.add((int(ho), int(wo)))
+        finally:
+            pipe.close()
+    # uniform sampling over 17x25 positions must leave the 13-point grid
+    assert not seen.issubset(grid), seen

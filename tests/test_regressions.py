@@ -337,3 +337,23 @@ def test_time_layers_device_loop_method():
                        method="device_loop")
     assert len(rows) == len(prog.exec_layers)
     assert all(np.isfinite(r[2]) and r[2] >= 0 for r in rows)
+
+
+def test_param_sharing_export_resolves_aliases(tmp_path):
+    """export_caffe_weights must write the shared owner's blobs on EVERY
+    sharing layer -- Caffe stores blobs per layer even under param{name}."""
+    from eco_tpu.convert import load_caffemodel
+    from eco_tpu.convert.write import export_caffe_weights
+
+    g = _shared_ip_graph()
+    prog = Program(g, train=False)
+    ins = {"a": jnp.zeros((2, 6)), "b": jnp.zeros((2, 6))}
+    params, state = prog.init(jax.random.PRNGKey(0), ins)
+    path = str(tmp_path / "shared.caffemodel")
+    exported = export_caffe_weights(g, params, state, path)
+    assert exported == ["ip1", "ip2"]
+    net = load_caffemodel(path)
+    w1 = np.asarray(net["ip1"]["blobs"][0])
+    w2 = np.asarray(net["ip2"]["blobs"][0])
+    np.testing.assert_array_equal(w1, w2)
+    assert w1.shape == (3, 6)  # caffe (out, in) layout
