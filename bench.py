@@ -31,7 +31,7 @@ if os.environ.get("ECO_BENCH_CACHE_DIR"):  # opt-in persistent compile cache
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # Skip remaining extras once this much wall time has elapsed, so the primary
 # JSON line always prints even under a driver timeout.
-WALL_BUDGET_S = float(os.environ.get("ECO_BENCH_WALL_BUDGET_S", "900"))
+WALL_BUDGET_S = float(os.environ.get("ECO_BENCH_WALL_BUDGET_S", "1000"))
 
 
 def _note(msg):

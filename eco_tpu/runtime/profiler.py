@@ -119,6 +119,7 @@ def time_layers(
     rng=None,
     backward: bool = False,
     method: str = "auto",
+    repeats: int = 1,
 ):
     """Per-layer micro-benchmark.
 
@@ -130,7 +131,9 @@ def time_layers(
     ``method``: "host" times a host loop with a blocking fetch per call
     (fine locally; relay-dominated over remote transports), "device_loop"
     uses the K-vs-1 on-device fori_loop difference method, "auto" picks
-    device_loop on TPU and host elsewhere.
+    device_loop on TPU and host elsewhere.  ``repeats`` > 1 takes the min
+    of that many device_loop measurements per layer -- use 2-3 on flaky
+    transports (a single hiccup otherwise inflates one layer's time).
     """
     if rng is None and program.train:
         rng = jax.random.PRNGKey(0)
@@ -153,7 +156,12 @@ def time_layers(
 
     def bench(fn, args):
         if method == "device_loop":
-            return _device_loop_ms(fn, args, iters)
+            # min over repeats: the K-vs-1 difference is exact in the mean
+            # but a single transport hiccup during the K-run shows up as a
+            # large spurious per-layer time; the min is hiccup-immune
+            return min(
+                _device_loop_ms(fn, args, iters) for _ in range(max(repeats, 1))
+            )
         for _ in range(warmup):
             out = fn(*args)
         jax.block_until_ready(out)

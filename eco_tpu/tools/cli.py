@@ -171,7 +171,7 @@ def cmd_time(args):
     )
     params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
     rows = time_layers(prog, params, state, {"data": data}, iters=args.iters,
-                       method=args.method)
+                       method=args.method, repeats=args.repeats)
     print(format_layer_times(rows))
 
 
@@ -492,6 +492,9 @@ def main(argv=None):
     sp = sub.add_parser("time")
     common(sp)
     sp.add_argument("--iters", type=int, default=10)
+    sp.add_argument("--repeats", type=int, default=1,
+                    help="min over N device-loop measurements per layer "
+                         "(2-3 suppresses transport hiccups)")
     sp.add_argument("--bf16", action="store_true")
     sp.add_argument("--method", default="auto",
                     choices=["auto", "host", "device_loop"],
