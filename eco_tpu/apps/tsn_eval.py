@@ -45,16 +45,30 @@ def oversample_video(
     crop: int = 224,
     name_pattern: str = "img_%04d.jpg",
     resize_hw=(256, 340),
+    frame_rule: str = "reference",
 ) -> np.ndarray:
     """Returns (10, num_segments*ceil(num_frames/num_segments)...) stacks.
 
     For ECO the clip unit is ``num_segments`` frames; we build one clip per
-    crop position from ``num_frames`` evenly spaced frames subsampled to
+    crop position from ``num_frames`` sampled frames subsampled to
     ``num_segments`` (linspace), i.e. (10, S, crop, crop, 3) float32.
+
+    ``frame_rule="reference"`` (default) picks the exact frames the paper
+    protocol reads: file index ``i*step + 1`` with
+    ``step = floor((duration-1)/(num_samples-1))``
+    (VideoSpatialPrediction.py:32-38).  ``"linspace"`` spreads the samples
+    end-inclusive instead (covers the video tail when duration is not close
+    to a multiple of num_frames).
     """
     import cv2
 
-    idx = np.linspace(0, n_video_frames - 1, num_frames).astype(np.int64)
+    if frame_rule == "reference":
+        step = (n_video_frames - 1) // max(num_frames - 1, 1)
+        idx = np.arange(num_frames, dtype=np.int64) * step
+    elif frame_rule == "linspace":
+        idx = np.linspace(0, n_video_frames - 1, num_frames).astype(np.int64)
+    else:
+        raise ValueError(f"unknown frame_rule {frame_rule!r}")
     sub = np.linspace(0, num_frames - 1, num_segments).astype(np.int64)
     frames = []
     for i in idx[sub]:

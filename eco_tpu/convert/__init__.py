@@ -1,4 +1,4 @@
-from eco_tpu.convert.caffemodel import load_caffemodel
+from eco_tpu.convert.caffemodel import load_blobproto, load_caffemodel
 from eco_tpu.convert.load import (
     convert_conv_weight,
     fold_bn,

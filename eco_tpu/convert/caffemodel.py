@@ -131,6 +131,13 @@ def _parse_layer(buf: memoryview, v1: bool) -> dict:
     return {"name": name, "type": ltype, "blobs": blobs}
 
 
+def load_blobproto(path: str) -> "np.ndarray":
+    """Read a standalone serialized BlobProto file (infogain H matrix,
+    compute_image_mean output -- io.cpp ReadProtoFromBinaryFile users)."""
+    with open(path, "rb") as f:
+        return _parse_blob(memoryview(f.read()))
+
+
 def load_caffemodel(path: str) -> dict[str, dict]:
     """Returns {layer_name: {"type": str, "blobs": [np.ndarray, ...]}} for all
     layers that carry weights."""

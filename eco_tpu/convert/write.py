@@ -62,9 +62,11 @@ def _layer_blobs(ltype: str, lp: Mapping, ls: Mapping):
     """Ordered caffe blobs for one layer, or None if not exportable."""
     t = ltype.lower()
     if t in ("convolution", "deconvolution"):
+        if "w" not in lp:
+            return None  # unresolved shared weight: skipped (caller warns)
         w = np.asarray(lp["w"], np.float32)
         nsp = w.ndim - 2
-        if t == "deconvolution":  # (*k, in, out) -> (in, out, *k)
+        if t == "deconvolution":  # (*k, in, out/g) -> (in, out/g, *k)
             perm = (nsp, nsp + 1) + tuple(range(nsp))
         else:  # (*k, in/g, out) -> (out, in/g, *k)
             perm = (nsp + 1, nsp) + tuple(range(nsp))
@@ -73,6 +75,8 @@ def _layer_blobs(ltype: str, lp: Mapping, ls: Mapping):
             blobs.append(np.asarray(lp["b"], np.float32))
         return blobs
     if t == "innerproduct":
+        if "w" not in lp:
+            return None  # unresolved shared weight: skipped (caller warns)
         blobs = [np.asarray(lp["w"], np.float32).T]
         if "b" in lp:
             blobs.append(np.asarray(lp["b"], np.float32))
@@ -117,7 +121,19 @@ def export_caffe_weights(graph, params: Mapping, state: Mapping, path: str,
         "innerproduct": ("w", "b"), "bn": ("gamma", "beta"),
         "scale": ("scale", "shift"),
     }
+    # Owner pre-pass so an aliasing layer that PRECEDES its owner in
+    # graph.layers still resolves (ownership in Caffe is first-declaration,
+    # net.cpp AppendParam, but graph order and ownership are independent
+    # for us: the owner is whichever layer holds the array in the tree).
     shared_owner: dict = {}
+    for layer in graph.layers:
+        lp_own = params.get(layer.name, {})
+        pnames = _PORDER.get(layer.type.lower(), ())
+        for i, ps in enumerate(layer.params):
+            sname = getattr(ps, "name", None)
+            if sname and i < len(pnames) and pnames[i] in lp_own:
+                shared_owner.setdefault(sname, lp_own[pnames[i]])
+    unresolved: list[str] = []
     for layer in graph.layers:
         lp = dict(params.get(layer.name, {}))
         pnames = _PORDER.get(layer.type.lower(), ())
@@ -126,10 +142,11 @@ def export_caffe_weights(graph, params: Mapping, state: Mapping, path: str,
             if not sname or i >= len(pnames):
                 continue
             pn = pnames[i]
-            if pn in lp:
-                shared_owner.setdefault(sname, lp[pn])
-            elif sname in shared_owner:
-                lp[pn] = shared_owner[sname]
+            if pn not in lp:
+                if sname in shared_owner:
+                    lp[pn] = shared_owner[sname]
+                else:
+                    unresolved.append(f"{layer.name}/{pn} (share name {sname!r})")
         ls = state.get(layer.name, {})
         if not lp and not ls:
             continue
@@ -142,6 +159,14 @@ def export_caffe_weights(graph, params: Mapping, state: Mapping, path: str,
             msg += _ld(7, _blob(b))
         out += _ld(100, msg)
         exported.append(layer.name)
+    if unresolved:
+        import warnings
+
+        warnings.warn(
+            "export_caffe_weights: shared params never resolved to an owner "
+            "array and were exported incomplete: " + ", ".join(unresolved),
+            stacklevel=2,
+        )
     with open(path, "wb") as f:
         f.write(out)
     return exported

@@ -64,10 +64,20 @@ def conv_nd(
         # Deconvolution with exact Caffe/torch ConvTranspose semantics
         # (output = s*(in-1) + k_ext - 2p): a fractionally-strided conv of
         # the lhs-dilated input with the spatially-flipped kernel and
-        # padding k_ext-1-p per side.  ``w`` is (*k, C_in, C_out) where
-        # C_in = the deconv's input channels.
+        # padding k_ext-1-p per side.  ``w`` is (*k, C_in, C_out/g) where
+        # C_in = the deconv's input channels (mirrors Caffe's deconv blob
+        # (C_in, C_out/g, *k), base_conv_layer.cpp:13-188 with channel
+        # roles swapped by deconv_layer.cpp).
         if groups != 1:
-            raise NotImplementedError("grouped deconvolution")
+            # Group i maps input block i -> output block i.  XLA's grouped
+            # conv (feature_group_count=g, HWIO) wants (*k, C_in/g, C_out)
+            # with output blocks consuming consecutive input groups, so
+            # rearrange (*k, [g, C_in/g], C_out/g) -> (*k, C_in/g, [g, C_out/g]).
+            k_sp = w.shape[:num_spatial]
+            cin, cout_pg = w.shape[-2], w.shape[-1]
+            w = w.reshape(*k_sp, groups, cin // groups, cout_pg)
+            w = jnp.swapaxes(w, -3, -2)
+            w = w.reshape(*k_sp, cin // groups, groups * cout_pg)
         w_rev = jnp.flip(w, axis=tuple(range(num_spatial)))
         pad_t = [
             (dilation[i] * (w.shape[i] - 1) - pad[i],) * 2
@@ -81,6 +91,7 @@ def conv_nd(
             lhs_dilation=stride,
             rhs_dilation=dilation,
             dimension_numbers=dn,
+            feature_group_count=groups,
         )
     else:
         y = lax.conv_general_dilated(

@@ -92,6 +92,39 @@ def concat_channels(inputs: Sequence[jax.Array]):
     return jnp.concatenate(list(inputs), axis=-1)
 
 
+def threshold(x, t: float = 0.0):
+    """Step function (threshold_layer.cpp): y = 1 if x > t else 0.
+    Not differentiable; Caffe declares no Backward for it either."""
+    return (x > t).astype(x.dtype)
+
+
+def bnll(x):
+    """Binomial normal log-likelihood (bnll_layer.cpp):
+    y = log(1 + exp(x)), computed in the overflow-stable split form
+    x > 0 ? x + log(1+exp(-x)) : log(1+exp(x)) == softplus."""
+    return jax.nn.softplus(x.astype(jnp.float32)).astype(x.dtype)
+
+
+def mvn(x, *, across_channels: bool = False, normalize_variance: bool = True,
+        eps: float = 1e-9):
+    """Mean-variance normalization (mvn_layer.cpp) on channels-last input.
+
+    Per sample: subtract the mean and (optionally) divide by ``sqrt(var)+eps``
+    (eps OUTSIDE the sqrt, matching the reference exactly), where the
+    reduction runs over H*W per channel, or over C*H*W when
+    ``across_channels``; var = E[x^2] - E[x]^2 as in the reference.
+    """
+    xf = x.astype(jnp.float32)
+    spatial = tuple(range(1, x.ndim - 1))
+    axes = spatial + ((x.ndim - 1,) if across_channels else ())
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    y = xf - mean
+    if normalize_variance:
+        var = jnp.mean(jnp.square(xf), axis=axes, keepdims=True) - jnp.square(mean)
+        y = y / (jnp.sqrt(var) + eps)
+    return y.astype(x.dtype)
+
+
 def lrn(x, *, local_size: int = 5, alpha: float = 1.0, beta: float = 0.75,
         k: float = 1.0):
     """Local response normalization ACROSS_CHANNELS (lrn_layer.cpp):

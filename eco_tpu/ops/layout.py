@@ -57,6 +57,42 @@ def to_physical(x: jax.Array) -> jax.Array:
     return jnp.moveaxis(x, 1, -1)
 
 
+def im2col(x: jax.Array, kernel, stride=1, pad=0, dilation=1) -> jax.Array:
+    """Explicit column view (im2col_layer.cpp / util/im2col.cpp:91-269).
+
+    Logical Caffe output is (N, C*K, *out) with column index c*K + k_idx,
+    k_idx row-major over kernel offsets; in our channels-last physical
+    layout that is exactly (N, *out, C*K) -- one pad + K strided slices,
+    no gather.  On TPU this layer is only a compatibility surface (XLA's
+    conv does its own implicit im2col on the MXU).
+    """
+    import itertools
+
+    from eco_tpu.utils.shapes import normalize_spatial_param
+
+    num_spatial = x.ndim - 2
+    kernel = normalize_spatial_param(kernel, num_spatial)
+    stride = normalize_spatial_param(stride, num_spatial, default=1)
+    pad = normalize_spatial_param(pad, num_spatial, default=0)
+    dilation = normalize_spatial_param(dilation, num_spatial, default=1)
+    if any(pad):
+        x = jnp.pad(x, [(0, 0)] + [(p, p) for p in pad] + [(0, 0)])
+    spatial = x.shape[1:-1]
+    outs = [
+        (size - d * (k - 1) - 1) // s + 1
+        for size, k, s, d in zip(spatial, kernel, stride, dilation)
+    ]
+    slices = []
+    for offs in itertools.product(*[range(k) for k in kernel]):
+        idx = (slice(None),) + tuple(
+            slice(o * d, o * d + (out - 1) * s + 1, s)
+            for o, d, out, s in zip(offs, dilation, outs, stride)
+        ) + (slice(None),)
+        slices.append(x[idx])
+    cols = jnp.stack(slices, axis=-1)  # (N, *out, C, K)
+    return cols.reshape(cols.shape[:-2] + (-1,))
+
+
 def caffe_reshape_dims(in_shape, dims, axis: int = 0, num_axes: int = -1):
     """Resolve a Caffe ReshapeParameter shape (0 = copy, -1 = infer).
 

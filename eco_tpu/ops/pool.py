@@ -90,7 +90,67 @@ def pool_nd(
             div = div * np.asarray(d, dtype=np.float32).reshape(shape)
         div = jnp.asarray(div.reshape((1,) + div.shape + (1,)))
         return (acc / div).astype(x.dtype)
-    raise ValueError(f"unknown pool mode {mode!r} (STOCHASTIC is train-only legacy)")
+    raise ValueError(
+        f"unknown pool mode {mode!r} (use stochastic_pool for STOCHASTIC)"
+    )
+
+
+def extract_pool_windows(x: jax.Array, kernel, stride) -> jax.Array:
+    """(N, *spatial, C) -> (N, *out, C, K) window view, K = prod(kernel).
+
+    Windows start at ``i*stride`` with NO padding (the reference stochastic
+    kernels index ``hstart = ph*stride``, clipping at the border); border
+    windows are filled with zeros, which both pooling modes below treat as
+    absent (zero mass / zero contribution), matching the reference clip.
+    Offsets are ordered row-major (i*kw + j), the Caffe im2col order.
+    """
+    import itertools
+
+    num_spatial = x.ndim - 2
+    kernel = normalize_spatial_param(kernel, num_spatial)
+    stride = normalize_spatial_param(stride, num_spatial, default=1)
+    spatial = x.shape[1:-1]
+    outs = [caffe_pool_out_dim(size, k, s, 0)[0]
+            for size, k, s in zip(spatial, kernel, stride)]
+    need = [max(0, (o - 1) * s + k - size)
+            for o, s, k, size in zip(outs, stride, kernel, spatial)]
+    if any(need):
+        x = jnp.pad(x, [(0, 0)] + [(0, n) for n in need] + [(0, 0)])
+    slices = []
+    for offs in itertools.product(*[range(k) for k in kernel]):
+        idx = (slice(None),) + tuple(
+            slice(o, o + (out - 1) * s + 1, s)
+            for o, out, s in zip(offs, outs, stride)
+        ) + (slice(None),)
+        slices.append(x[idx])
+    return jnp.stack(slices, axis=-1)  # (N, *out, C, K)
+
+
+def stochastic_pool(x: jax.Array, kernel, stride=1, *, train: bool,
+                    rng: jax.Array | None = None) -> jax.Array:
+    """STOCHASTIC pooling (pooling_layer.cu StoPoolForwardTrain/Test).
+
+    TRAIN: sample one activation per window with probability proportional to
+    its value (the reference draws u*sum and scans the cumsum; the Gumbel-max
+    over log(x) here samples the identical multinomial, vectorized for the
+    VPU instead of a sequential scan).  Assumes non-negative activations
+    (post-ReLU), as the method requires.
+    TEST: the probability-weighted average sum(x^2) / (FLT_MIN + sum(x)).
+    Padding is not supported (the reference GPU kernels ignore pad).
+    """
+    windows = extract_pool_windows(x, kernel, stride)  # (N, *out, C, K)
+    wf = windows.astype(jnp.float32)
+    if not train:
+        num = jnp.sum(jnp.square(wf), axis=-1)
+        den = jnp.sum(wf, axis=-1) + np.finfo(np.float32).tiny
+        return (num / den).astype(x.dtype)
+    if rng is None:
+        raise ValueError("stochastic_pool(train=True) needs an rng key")
+    logits = jnp.log(jnp.maximum(wf, 0.0))  # zeros -> -inf: never sampled
+    g = jax.random.gumbel(rng, wf.shape, jnp.float32)
+    pick = jnp.argmax(logits + g, axis=-1)
+    y = jnp.take_along_axis(windows, pick[..., None], axis=-1)[..., 0]
+    return y.astype(x.dtype)
 
 
 def max_pool(x, kernel, stride=1, pad=0):

@@ -29,19 +29,46 @@ MODEL_AXIS = "model"
 
 _CLUSTER_ENV_VARS = (
     # cluster launchers jax.distributed can auto-detect (the reference
-    # reached these via mpirun, train_action_recognition_rgb.sh:1-8), plus
-    # managed environments whose detection runs without any of the classic
-    # scheduler vars (GKE, Cloud TPU pods via the GCE metadata server)
+    # reached these via mpirun, train_action_recognition_rgb.sh:1-8); probed
+    # by :func:`multihost_evidence` to decide whether a failed/late
+    # ``distributed_init`` may be swallowed.  Vars that are also set on
+    # single-host boxes (TPU_WORKER_ID=0, any K8s pod) only count when their
+    # value implies world > 1.
     "JAX_COORDINATOR_ADDRESS",
     "COORDINATOR_ADDRESS",
-    "SLURM_JOB_ID",
-    "OMPI_COMM_WORLD_SIZE",
-    "TPU_WORKER_HOSTNAMES",
     "MEGASCALE_COORDINATOR_ADDRESS",
-    "KUBERNETES_SERVICE_HOST",
-    "TPU_WORKER_ID",
-    "CLOUD_TPU_TASK_ID",
+    "SLURM_NTASKS",
+    "OMPI_COMM_WORLD_SIZE",
+    "PMI_SIZE",
+    "TPU_WORKER_HOSTNAMES",
 )
+
+
+def multihost_evidence() -> Optional[str]:
+    """Best-effort probe: does the environment say this process belongs to a
+    MULTI-process job?  Returns a ``VAR=value`` description or None.
+
+    Used to decide whether a failed/late ``jax.distributed.initialize`` is
+    benign (plain single host -> None) or a silent-desync hazard (peers are
+    forming a cluster this process would drop out of).
+    """
+    import os
+
+    for var in _CLUSTER_ENV_VARS:
+        val = os.environ.get(var)
+        if not val:
+            continue
+        if var in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE", "PMI_SIZE"):
+            try:
+                if int(val) <= 1:
+                    continue  # single-task allocation
+            except ValueError:
+                pass
+        elif var == "TPU_WORKER_HOSTNAMES":
+            if len([h for h in val.split(",") if h.strip()]) <= 1:
+                continue  # single-host TPU VM sets this too
+        return f"{var}={val}"
+    return None
 
 
 def distributed_init(**kwargs) -> None:
@@ -56,6 +83,12 @@ def distributed_init(**kwargs) -> None:
     inconsistent process counts), PROPAGATES -- a host silently falling back
     to single-process while its peers formed the cluster would train
     un-synchronized.  "Already initialized" is always swallowed.
+
+    Because the classification below keys on exception-message substrings
+    (fragile across JAX versions), every swallow branch FIRST consults
+    :func:`multihost_evidence`: if the environment shows a multi-process job
+    (SLURM/OpenMPI world > 1, an explicit coordinator address, multiple TPU
+    worker hostnames), nothing but "already initialized" is swallowed.
     """
 
     explicit = any(v is not None for v in kwargs.values()) if kwargs else False
@@ -67,6 +100,18 @@ def distributed_init(**kwargs) -> None:
             return  # initialized earlier in this process
         if explicit:
             raise  # user-supplied config is wrong -- surface it
+        evidence = multihost_evidence()
+        if evidence is not None:
+            # A cluster job is visibly around this process; whatever went
+            # wrong (late init after an XLA computation locked the backend,
+            # unreachable coordinator, a JAX version changing its error
+            # strings), proceeding single-process here means training
+            # UN-synchronized next to live peers.  Surface it.
+            raise RuntimeError(
+                f"jax.distributed.initialize failed but the environment "
+                f"indicates a multi-process job ({evidence}); refusing to "
+                f"fall back to single-process"
+            ) from e
         if ("coordinator_address" in msg or "could not find" in msg
                 or "unable to detect" in msg or "auto-detect" in msg):
             # auto-detection found NO cluster (plain single host, incl. a
@@ -75,13 +120,11 @@ def distributed_init(**kwargs) -> None:
             return
         if "must be called before" in msg:
             # the XLA backend is already up, so this is a LATE auto call in
-            # an already-running single-process program; its process layout
-            # is locked in either way -> no-op
+            # an already-running single-process program (no cluster evidence,
+            # checked above); its process layout is locked in either way
+            # -> no-op
             return
-        # auto-detection DID find a cluster but joining it failed
-        # (unreachable coordinator, inconsistent process counts, barrier
-        # timeouts).  Falling back silently would leave this host training
-        # un-synchronized while its peers formed the cluster -- surface it.
+        # unrecognized failure: surface rather than guess
         raise
 
 

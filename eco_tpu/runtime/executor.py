@@ -25,6 +25,7 @@ import zlib
 from dataclasses import dataclass
 from typing import Any, Mapping, Optional, Sequence
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -34,7 +35,9 @@ from eco_tpu.spec.graph import TRAIN, TEST, GraphSpec, LayerSpec
 from eco_tpu.utils.shapes import normalize_spatial_param
 
 # Layer types whose tops are host-provided (the data boundary).
-DATA_LAYER_TYPES = {"videodata", "input", "imagedata", "data", "memorydata"}
+DATA_LAYER_TYPES = {
+    "videodata", "input", "imagedata", "data", "memorydata", "hdf5data",
+}
 
 
 @dataclass
@@ -79,15 +82,28 @@ class _Conv(LayerImpl):
         kernel = normalize_spatial_param(k, num_spatial)
         return num_spatial, kernel
 
+    @staticmethod
+    def _transposed(spec) -> bool:
+        # Deconvolution dispatches by layer TYPE (deconv_layer.cpp), not an
+        # option: prototxt import has no "transposed" field to set.  The
+        # explicit option remains as an override for hand-built specs.
+        return spec.type == "deconvolution" or bool(spec.opt("transposed", False))
+
     def param_specs(self, spec, in_shapes):
         in_shape = in_shapes[0]
         _, kernel = self._geometry(spec, in_shape)
         cin = in_shape[-1]
         cout = int(spec.opt("num_output"))
         groups = int(spec.opt("group", 1))
+        if self._transposed(spec):
+            # Caffe deconv blob is (C_in, C_out/g, *k); ours is spatial-first
+            # (*k, C_in, C_out/g) -- see convert.load.convert_conv_weight.
+            wshape = tuple(kernel) + (cin, cout // groups)
+        else:
+            wshape = tuple(kernel) + (cin // groups, cout)
         out = {
             "w": (
-                tuple(kernel) + (cin // groups, cout),
+                wshape,
                 jnp.float32,
                 spec.opt("weight_filler", {"type": "xavier"}),
             )
@@ -105,7 +121,7 @@ class _Conv(LayerImpl):
             pad=spec.opt("pad", 0),
             dilation=spec.opt("dilation", 1),
             groups=int(spec.opt("group", 1)),
-            transposed=bool(spec.opt("transposed", False)),
+            transposed=self._transposed(spec),
         )
         return [y], None
 
@@ -182,12 +198,22 @@ class _Pooling(LayerImpl):
         p = spec.opt("pad", 0)
         if spec.opt("pad_h") is not None:
             p = (int(spec.opt("pad_h")), int(spec.opt("pad_w")))
+        mode = str(spec.opt("pool", "max")).lower()
+        if mode == "stochastic":
+            # pooling_layer.cu StoPoolForwardTrain/Test; the reference GPU
+            # kernels ignore pad, so reject it rather than silently shift
+            if any(normalize_spatial_param(p, inputs[0].ndim - 2, default=0)):
+                raise ValueError("STOCHASTIC pooling does not support pad")
+            y = ops.stochastic_pool(
+                inputs[0], k, s, train=ctx.train, rng=ctx.layer_rng(spec.name)
+            )
+            return [y], None
         y = ops.pool_nd(
             inputs[0],
             kernel=k,
             stride=s,
             pad=p,
-            mode=spec.opt("pool", "max"),
+            mode=mode,
             global_pooling=bool(spec.opt("global_pooling", False)),
         )
         return [y], None
@@ -446,6 +472,176 @@ class _BatchNormCaffe(LayerImpl):
         return [y], None
 
 
+class _Threshold(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        return [ops.threshold(inputs[0], float(spec.opt("threshold", 0.0)))], None
+
+
+class _BNLL(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        return [ops.bnll(inputs[0])], None
+
+
+class _MVN(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        return [
+            ops.mvn(
+                inputs[0],
+                across_channels=bool(spec.opt("across_channels", False)),
+                normalize_variance=bool(spec.opt("normalize_variance", True)),
+                eps=float(spec.opt("eps", 1e-9)),
+            )
+        ], None
+
+
+class _HingeLoss(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        loss = ops.hinge_loss(
+            inputs[0], inputs[1].astype(jnp.int32),
+            norm=str(spec.opt("norm", "L1")),
+        )
+        return [loss], None
+
+
+class _SigmoidCrossEntropyLoss(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        return [ops.sigmoid_cross_entropy(inputs[0], inputs[1])], None
+
+
+class _InfogainLoss(LayerImpl):
+    """Infogain loss (infogain_loss_layer.cpp).  The H matrix arrives either
+    as a third bottom or from ``infogain_param { source }`` (a serialized
+    BlobProto), loaded into layer state at init."""
+
+    def state_specs(self, spec, in_shapes):
+        if len(in_shapes) >= 3:
+            return {}
+        src = spec.opt("source")
+        if src is None:
+            raise ValueError(
+                f"InfogainLoss {spec.name!r} needs a third bottom or "
+                "infogain_param.source"
+            )
+        from eco_tpu.convert.caffemodel import load_blobproto
+
+        c = in_shapes[0][-1]
+        H = np.asarray(load_blobproto(src), np.float32).reshape(c, c)
+        return {"H": ((c, c), jnp.float32, jnp.asarray(H))}
+
+    def apply(self, spec, params, state, inputs, ctx):
+        H = inputs[2] if len(inputs) >= 3 else state["H"]
+        loss = ops.infogain_loss(inputs[0], inputs[1].astype(jnp.int32), H)
+        return [loss], None
+
+
+class _ContrastiveLoss(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        loss = ops.contrastive_loss(
+            inputs[0], inputs[1], inputs[2],
+            margin=float(spec.opt("margin", 1.0)),
+            legacy=bool(spec.opt("legacy_version", False)),
+        )
+        return [loss], None
+
+
+class _MultinomialLogisticLoss(LayerImpl):
+    """NLL on already-softmaxed probabilities
+    (multinomial_logistic_loss_layer.cpp): -1/N sum log(max(p_i,label, 1e-20))."""
+
+    def apply(self, spec, params, state, inputs, ctx):
+        p = inputs[0].astype(jnp.float32)
+        labels = inputs[1].astype(jnp.int32)
+        picked = jnp.take_along_axis(p, labels[:, None], axis=-1)[:, 0]
+        loss = -jnp.sum(jnp.log(jnp.maximum(picked, 1e-20))) / p.shape[0]
+        return [loss], None
+
+
+class _DummyData(LayerImpl):
+    """In-graph synthetic blobs (dummy_data_layer.cpp): one top per declared
+    shape, filled by constant/gaussian/uniform fillers."""
+
+    def _shapes(self, spec):
+        shapes = spec.opt("shape", [])
+        if isinstance(shapes, dict):
+            shapes = [shapes]
+        dims = [tuple(int(d) for d in (s.get("dim") if isinstance(s, dict) else s))
+                for s in shapes]
+        # legacy num/channels/height/width quadruples
+        if not dims and spec.opt("num") is not None:
+            nums = spec.opt("num")
+            nums = nums if isinstance(nums, list) else [nums]
+            chans = spec.opt("channels", 1)
+            chans = chans if isinstance(chans, list) else [chans] * len(nums)
+            hs = spec.opt("height", 1)
+            hs = hs if isinstance(hs, list) else [hs] * len(nums)
+            ws = spec.opt("width", 1)
+            ws = ws if isinstance(ws, list) else [ws] * len(nums)
+            dims = [(int(n), int(c), int(h), int(w))
+                    for n, c, h, w in zip(nums, chans, hs, ws)]
+        if not dims:
+            raise ValueError(f"DummyData {spec.name!r} declares no shape")
+        # declared shapes are logical NCHW; emit physical channels-last
+        return [
+            (d[0],) + d[2:] + (d[1],) if len(d) >= 3 else d for d in dims
+        ]
+
+    def apply(self, spec, params, state, inputs, ctx):
+        fillers = spec.opt("data_filler", [{"type": "constant", "value": 0.0}])
+        if isinstance(fillers, dict):
+            fillers = [fillers]
+        shapes = self._shapes(spec)
+        if len(fillers) == 1:
+            fillers = fillers * len(shapes)
+        outs = []
+        for i, (shape, f) in enumerate(zip(shapes, fillers)):
+            ftype = str(f.get("type", "constant")).lower()
+            if ftype == "constant":
+                outs.append(jnp.full(shape, float(f.get("value", 0.0)), jnp.float32))
+            else:
+                rng = ctx.layer_rng(spec.name)
+                if rng is None:
+                    rng = jax.random.PRNGKey(0)
+                rng = jax.random.fold_in(rng, i)
+                if ftype == "gaussian":
+                    x = jax.random.normal(rng, shape, jnp.float32)
+                    outs.append(float(f.get("std", 1.0)) * x
+                                + float(f.get("mean", 0.0)))
+                elif ftype == "uniform":
+                    outs.append(jax.random.uniform(
+                        rng, shape, jnp.float32,
+                        minval=float(f.get("min", 0.0)),
+                        maxval=float(f.get("max", 1.0))))
+                else:
+                    raise ValueError(f"DummyData filler {ftype!r} unsupported")
+        return outs, None
+
+
+class _HDF5Output(LayerImpl):
+    """Graph-form HDF5Output (hdf5_output_layer.cpp) -- a sink inside a
+    traced program cannot do file IO; the write happens host-side via
+    ``eco_tpu.data.hdf5.save_hdf5`` on captured blobs.  In-graph it passes
+    nothing on, like Silence."""
+
+    def apply(self, spec, params, state, inputs, ctx):
+        return [], None
+
+
+class _Im2col(LayerImpl):
+    def apply(self, spec, params, state, inputs, ctx):
+        k = spec.opt("kernel_size")
+        if k is None and spec.opt("kernel_h") is not None:
+            k = (int(spec.opt("kernel_h")), int(spec.opt("kernel_w")))
+        return [
+            ops.im2col(
+                inputs[0],
+                k,
+                stride=spec.opt("stride", 1),
+                pad=spec.opt("pad", 0),
+                dilation=spec.opt("dilation", 1),
+            )
+        ], None
+
+
 class _Gather(LayerImpl):
     """Model-parallel section entry (reference gather_layer.cpp): allgather
     activations along the batch so downstream layers run replicated.
@@ -520,6 +716,17 @@ IMPLS: dict[str, LayerImpl] = {
     "euclideanloss": _EuclideanLoss(),
     "batchnorm": _BatchNormCaffe(),
     "split": _Split(),
+    "threshold": _Threshold(),
+    "bnll": _BNLL(),
+    "mvn": _MVN(),
+    "hingeloss": _HingeLoss(),
+    "sigmoidcrossentropyloss": _SigmoidCrossEntropyLoss(),
+    "infogainloss": _InfogainLoss(),
+    "contrastiveloss": _ContrastiveLoss(),
+    "im2col": _Im2col(),
+    "multinomiallogisticloss": _MultinomialLogisticLoss(),
+    "dummydata": _DummyData(),
+    "hdf5output": _HDF5Output(),
 }
 
 

@@ -47,9 +47,27 @@ def _tokenize(text: str):
     yield "eof", ""
 
 
+_UNESCAPES = {"\\": "\\", '"': '"', "n": "\n", "r": "\r", "t": "\t", "'": "'"}
+
+
+def _unescape(s: str) -> str:
+    if "\\" not in s:
+        return s
+    out, i = [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            out.append(_UNESCAPES.get(s[i + 1], "\\" + s[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def _convert(tok: str) -> Any:
     if tok.startswith('"'):
-        return tok[1:-1]
+        return _unescape(tok[1:-1])
     low = tok.lower()
     if low == "true":
         return True
@@ -280,6 +298,19 @@ _OPTS_MAP = {
     "EuclideanLoss": (None, "euclideanloss"),
     "BatchNorm": ("batch_norm_param", "batchnorm"),
     "Split": (None, "split"),
+    "Threshold": ("threshold_param", "threshold"),
+    "BNLL": (None, "bnll"),
+    "MVN": ("mvn_param", "mvn"),
+    "HingeLoss": ("hinge_loss_param", "hingeloss"),
+    "SigmoidCrossEntropyLoss": ("loss_param", "sigmoidcrossentropyloss"),
+    "InfogainLoss": ("infogain_loss_param", "infogainloss"),
+    "ContrastiveLoss": ("contrastive_loss_param", "contrastiveloss"),
+    "Im2col": ("convolution_param", "im2col"),
+    "MemoryData": ("memory_data_param", "memorydata"),
+    "HDF5Data": ("hdf5_data_param", "hdf5data"),
+    "HDF5Output": ("hdf5_output_param", "hdf5output"),
+    "DummyData": ("dummy_data_param", "dummydata"),
+    "MultinomialLogisticLoss": ("loss_param", "multinomiallogisticloss"),
 }
 
 
@@ -438,9 +469,17 @@ def graph_from_prototxt(text: str, *, name: str = None) -> GraphSpec:
 # not protobuf strings (emitted quoted).  Everything else that parses as str
 # is a real string field (name/type/bottom/top/source/lr_policy/...).
 _ENUM_FIELDS = {
-    "pool", "phase", "modality", "operation", "norm_region", "engine",
+    "pool", "phase", "modality", "operation", "norm", "norm_region", "engine",
     "backend", "share_mode", "variance_norm", "solver_mode", "solver_type",
     "snapshot_format", "db", "round_mode",
+}
+
+
+# protobuf text strings cannot contain raw control chars -- escape them
+# (a name/source with a newline would otherwise emit an unparseable file)
+_STRING_ESCAPES = {
+    ord("\\"): "\\\\", ord('"'): '\\"',
+    ord("\n"): "\\n", ord("\r"): "\\r", ord("\t"): "\\t",
 }
 
 
@@ -450,7 +489,7 @@ def _format_value(key: str, v: Any) -> str:
     if isinstance(v, str):
         if key in _ENUM_FIELDS:
             return v
-        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        return '"' + v.translate(_STRING_ESCAPES) + '"'
     if isinstance(v, float):
         return repr(v)
     return str(v)

@@ -231,3 +231,27 @@ def test_flow_training_end_to_end(tmp_path, flow_dir):
         assert np.mean(losses[-2:]) < np.mean(losses[:2])
     finally:
         pipe.close()
+
+
+def test_oversample_reference_frame_rule(frame_dir):
+    """Frame selection must pin the exact files the reference protocol reads:
+    file i*step+1 with step = floor((duration-1)/(num_samples-1))
+    (VideoSpatialPrediction.py:32-38).  The fixture's frame f has constant
+    pixel value f*3, so the read index is recoverable from the pixels."""
+    from eco_tpu.apps.tsn_eval import BGR_MEAN
+
+    vdir = str(frame_dir / "cls_a" / "vid0")
+    # duration=30, num_frames=10 -> step = floor(29/9) = 3 -> 0-based 0,3,..,27
+    stacks = oversample_video(vdir, 30, num_frames=10, num_segments=10)
+    got = [int(round((stacks[0, s, 0, 0, 0] + BGR_MEAN[0]) / 3)) for s in range(10)]
+    assert got == [0, 3, 6, 9, 12, 15, 18, 21, 24, 27]
+    # linspace opt-in reaches the video tail instead
+    stacks = oversample_video(vdir, 30, num_frames=10, num_segments=10,
+                              frame_rule="linspace")
+    got = [int(round((stacks[0, s, 0, 0, 0] + BGR_MEAN[0]) / 3)) for s in range(10)]
+    assert got[-1] == 29
+    # short video (duration < num_frames): step=0 -> the reference re-reads
+    # frame 1 for every sample; preserve that quirk bit-for-bit
+    stacks = oversample_video(vdir, 8, num_frames=10, num_segments=4)
+    got = [int(round((stacks[0, s, 0, 0, 0] + BGR_MEAN[0]) / 3)) for s in range(4)]
+    assert got == [0, 0, 0, 0]

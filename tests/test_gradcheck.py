@@ -146,6 +146,16 @@ CASES = [
         [(2, 4, 4, 2), (2, 4, 4, 3)]),
     ("dropout_train", LayerSpec("l", "dropout", ("x",), ("y",),
         {"dropout_ratio": 0.4}), [(3, 4, 4, 2)]),
+    ("deconv_grouped", LayerSpec("l", "deconvolution", ("x",), ("y",),
+        {"num_output": 4, "kernel_size": 3, "stride": 2, "pad": 1,
+         "group": 2}), [(1, 5, 5, 4)]),
+    ("bnll", LayerSpec("l", "bnll", ("x",), ("y",), {}), [(2, 5, 5, 3)]),
+    ("mvn", LayerSpec("l", "mvn", ("x",), ("y",), {}), [(2, 5, 5, 3)]),
+    ("mvn_across", LayerSpec("l", "mvn", ("x",), ("y",),
+        {"across_channels": True, "normalize_variance": False}),
+        [(2, 5, 5, 3)]),
+    ("im2col", LayerSpec("l", "im2col", ("x",), ("y",),
+        {"kernel_size": 3, "stride": 2, "pad": 1}), [(2, 7, 7, 3)]),
 ]
 
 

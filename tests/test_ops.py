@@ -332,3 +332,168 @@ def test_deconv_matches_torch():
     ).permute(0, 2, 3, 1).numpy()
     assert y.shape == ref.shape == (2, 14, 14, 8)
     np.testing.assert_allclose(_np(y), ref, rtol=3e-4, atol=3e-4)
+
+
+def test_grouped_deconv_matches_torch():
+    # base_conv_layer.cpp:13-188 generalizes groups to deconvolution; our
+    # weight layout is (*k, C_in, C_out/g) mirroring Caffe's (C_in, C_out/g, *k).
+    x = RNG.standard_normal((2, 5, 5, 6), dtype=np.float32)
+    w = RNG.standard_normal((3, 3, 6, 2), dtype=np.float32) * 0.1  # g=2 -> Cout=4
+    y = ops.conv_nd(jnp.asarray(x), jnp.asarray(w), stride=2, pad=1,
+                    transposed=True, groups=2)
+    ref = F.conv_transpose2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        torch.from_numpy(w).permute(2, 3, 0, 1),  # (Cin, Cout/g, k, k)
+        stride=2, padding=1, groups=2,
+    ).permute(0, 2, 3, 1).numpy()
+    assert y.shape == ref.shape == (2, 9, 9, 4)
+    np.testing.assert_allclose(_np(y), ref, rtol=3e-4, atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# Layer-zoo tail (round-3): threshold/bnll/mvn/stochastic-pool/im2col + losses
+# ---------------------------------------------------------------------------
+
+
+def test_threshold_and_bnll():
+    x = jnp.asarray([[-2.0, -0.1, 0.0, 0.1, 3.0]], jnp.float32)
+    np.testing.assert_array_equal(
+        _np(ops.threshold(x, 0.0)), [[0.0, 0.0, 0.0, 1.0, 1.0]]
+    )
+    np.testing.assert_array_equal(
+        _np(ops.threshold(x, 0.5)), [[0.0, 0.0, 0.0, 0.0, 1.0]]
+    )
+    # BNLL == log(1+exp(x)), overflow-stable at large |x|
+    big = jnp.asarray([[-50.0, 0.0, 50.0]], jnp.float32)
+    ref = F.softplus(torch.from_numpy(np.asarray(big))).numpy()
+    np.testing.assert_allclose(_np(ops.bnll(big)), ref, rtol=1e-6, atol=1e-6)
+    assert np.isfinite(_np(ops.bnll(big))).all()
+
+
+def test_mvn_matches_reference_formula():
+    # mvn_layer.cpp: y = (x - mean) / (sqrt(E[x^2]-E[x]^2) + eps),
+    # reduced over H*W per channel (or C*H*W across_channels)
+    x = RNG.standard_normal((2, 4, 5, 3)).astype(np.float32) * 2 + 1
+    y = _np(ops.mvn(jnp.asarray(x), eps=1e-9))
+    for n in range(2):
+        for c in range(3):
+            sl = x[n, :, :, c]
+            ref = (sl - sl.mean()) / (np.sqrt((sl**2).mean() - sl.mean()**2) + 1e-9)
+            np.testing.assert_allclose(y[n, :, :, c], ref, rtol=1e-4, atol=1e-5)
+    ya = _np(ops.mvn(jnp.asarray(x), across_channels=True))
+    sl = x[0]
+    ref = (sl - sl.mean()) / (np.sqrt((sl**2).mean() - sl.mean()**2) + 1e-9)
+    np.testing.assert_allclose(ya[0], ref, rtol=1e-4, atol=1e-5)
+    # normalize_variance=false: mean subtraction only
+    ym = _np(ops.mvn(jnp.asarray(x), normalize_variance=False))
+    np.testing.assert_allclose(
+        ym[0, :, :, 0], x[0, :, :, 0] - x[0, :, :, 0].mean(), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_stochastic_pool_test_mode():
+    # StoPoolForwardTest: sum(x^2) / (FLT_MIN + sum(x)) per window, no pad
+    x = np.abs(RNG.standard_normal((1, 4, 4, 2))).astype(np.float32)
+    y = _np(ops.stochastic_pool(jnp.asarray(x), 2, 2, train=False))
+    assert y.shape == (1, 2, 2, 2)
+    w = x[0, :2, :2, 0]
+    np.testing.assert_allclose(
+        y[0, 0, 0, 0], (w**2).sum() / w.sum(), rtol=1e-5
+    )
+
+
+def test_stochastic_pool_train_samples_proportionally():
+    # one 1x2 window holding (1, 3): value 3 must be drawn ~3x as often
+    x = jnp.asarray(np.array([[[[1.0], [3.0]]]], np.float32))  # (1,1,2,1)
+    draws = [
+        float(ops.stochastic_pool(x, (1, 2), (1, 2), train=True,
+                                  rng=jax.random.PRNGKey(i))[0, 0, 0, 0])
+        for i in range(400)
+    ]
+    assert set(np.round(draws, 5)) <= {1.0, 3.0}
+    frac3 = np.mean(np.asarray(draws) == 3.0)
+    assert 0.65 <= frac3 <= 0.85, frac3  # expect 0.75
+
+
+def test_im2col_matches_torch_unfold():
+    x = RNG.standard_normal((2, 7, 7, 3)).astype(np.float32)
+    y = _np(ops.im2col(jnp.asarray(x), 3, stride=2, pad=1))
+    # torch unfold: (N, C*K, L) with channel-major K-minor ordering == Caffe
+    ref = F.unfold(
+        torch.from_numpy(x).permute(0, 3, 1, 2), kernel_size=3, stride=2,
+        padding=1,
+    ).numpy()
+    n, ck, L = ref.shape
+    oh = ow = int(np.sqrt(L))
+    ref = ref.reshape(n, ck, oh, ow).transpose(0, 2, 3, 1)
+    assert y.shape == ref.shape
+    np.testing.assert_allclose(y, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_hinge_loss_reference_formula():
+    # hinge_loss_layer.cpp: negate true-class column, max(0, 1+v), L1/L2
+    x = RNG.standard_normal((4, 5)).astype(np.float32)
+    labels = np.asarray([0, 2, 4, 1])
+    signed = x.copy()
+    for i, l in enumerate(labels):
+        signed[i, l] *= -1
+    m = np.maximum(0.0, 1.0 + signed)
+    np.testing.assert_allclose(
+        float(ops.hinge_loss(jnp.asarray(x), jnp.asarray(labels))),
+        m.sum() / 4, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(ops.hinge_loss(jnp.asarray(x), jnp.asarray(labels), norm="L2")),
+        (m**2).sum() / 4, rtol=1e-5,
+    )
+
+
+def test_sigmoid_cross_entropy_matches_torch():
+    x = RNG.standard_normal((3, 6)).astype(np.float32) * 3
+    t = (RNG.uniform(size=(3, 6)) > 0.5).astype(np.float32)
+    got = float(ops.sigmoid_cross_entropy(jnp.asarray(x), jnp.asarray(t)))
+    ref = F.binary_cross_entropy_with_logits(
+        torch.from_numpy(x), torch.from_numpy(t), reduction="sum"
+    ).item() / 3  # reference divides by outer num, not element count
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+    # gradcheck through the stable form
+    g = jax.grad(lambda a: ops.sigmoid_cross_entropy(a, jnp.asarray(t)))(
+        jnp.asarray(x)
+    )
+    np.testing.assert_allclose(
+        _np(g), (1 / (1 + np.exp(-x)) - t) / 3, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_infogain_loss_identity_is_nll():
+    probs = np.abs(RNG.standard_normal((3, 4))).astype(np.float32) + 0.1
+    probs /= probs.sum(-1, keepdims=True)
+    labels = np.asarray([1, 0, 3])
+    H = np.eye(4, dtype=np.float32)
+    got = float(ops.infogain_loss(jnp.asarray(probs), jnp.asarray(labels),
+                                  jnp.asarray(H)))
+    ref = -np.log(probs[np.arange(3), labels]).sum() / 3
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+    # off-diagonal H actually weights other columns
+    H2 = np.ones((4, 4), np.float32)
+    got2 = float(ops.infogain_loss(jnp.asarray(probs), jnp.asarray(labels),
+                                   jnp.asarray(H2)))
+    ref2 = -np.log(probs).sum() / 3
+    np.testing.assert_allclose(got2, ref2, rtol=1e-5)
+
+
+def test_contrastive_loss_reference_formula():
+    a = RNG.standard_normal((4, 6)).astype(np.float32)
+    b = RNG.standard_normal((4, 6)).astype(np.float32)
+    y = np.asarray([1.0, 0.0, 1.0, 0.0], np.float32)
+    d2 = ((a - b) ** 2).sum(-1)
+    margin = 1.5
+    ref = (y * d2 + (1 - y) * np.maximum(margin - np.sqrt(d2), 0) ** 2).sum() / 8
+    got = float(ops.contrastive_loss(jnp.asarray(a), jnp.asarray(b),
+                                     jnp.asarray(y), margin=margin))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+    ref_legacy = (y * d2 + (1 - y) * np.maximum(margin - d2, 0)).sum() / 8
+    got_legacy = float(ops.contrastive_loss(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(y), margin=margin,
+        legacy=True))
+    np.testing.assert_allclose(got_legacy, ref_legacy, rtol=1e-5)
