@@ -270,22 +270,15 @@ def cmd_test(args):
     return means
 
 
-def cmd_convert(args):
-    import jax
-
-    from eco_tpu.convert import import_caffe_weights
-    from eco_tpu.runtime import Program
-    from eco_tpu.spec.prototxt import graph_from_prototxt
-    from eco_tpu.train import save_model
+def _synthesize_sample_inputs(prog, graph):
+    """Zero sample inputs for Program.init: declared deploy inputs plus
+    shapes synthesized from any VideoData layer (train-style prototxts
+    declare no inputs)."""
     import jax.numpy as jnp
 
-    graph = graph_from_prototxt(open(args.net).read())
-    prog = Program(graph, train=False)
     sample = {
         k: jnp.zeros(shape, jnp.float32) for k, shape in graph.inputs.items()
     }
-    # train-style prototxts declare no inputs; synthesize samples for the
-    # data-layer tops so init can propagate shapes
     for l in prog.data_layers:
         if l.type.lower() != "videodata":
             continue
@@ -300,6 +293,20 @@ def cmd_convert(args):
                     jnp.zeros((b,), jnp.int32) if top == "label"
                     else jnp.zeros((b, sl, crop, crop, c), jnp.float32)
                 )
+    return sample
+
+
+def cmd_convert(args):
+    import jax
+
+    from eco_tpu.convert import import_caffe_weights
+    from eco_tpu.runtime import Program
+    from eco_tpu.spec.prototxt import graph_from_prototxt
+    from eco_tpu.train import save_model
+
+    graph = graph_from_prototxt(open(args.net).read())
+    prog = Program(graph, train=False)
+    sample = _synthesize_sample_inputs(prog, graph)
     params, state = prog.init(jax.random.PRNGKey(0), sample)
     params, state, report = import_caffe_weights(
         graph, params, state, args.caffemodel, bn_style=args.bn_style
@@ -309,6 +316,134 @@ def cmd_convert(args):
         f"Converted {len(report['loaded'])} layers "
         f"({len(report['skipped'])} skipped) -> {args.output}"
     )
+
+
+def _default_parity_blob(prog) -> str:
+    """Blob to diff against Caffe: prefer real activations over in-graph
+    metric scalars (Accuracy/loss tops tell you almost nothing at 1e-3)."""
+    metric_tops = {
+        t for l in prog.exec_layers if l.type in ("accuracy",) for t in l.tops
+    } | set(prog.loss_names)
+    for name in reversed(prog.output_names):
+        if name not in metric_tops:
+            return name
+    return prog.output_names[-1]
+
+
+def cmd_parity(args):
+    """One-command real-weights parity gate (docs/REAL_WEIGHTS.md):
+    convert -> coverage gate -> fixed-input logits (optionally diffed
+    against a Caffe-produced reference) -> BN-fold self-check
+    (gen_bn_inference.py:23-33 check() analogue) -> optional dataset eval.
+    Emits ONE JSON verdict line and exits non-zero on any gate failure."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from eco_tpu.convert import fold_bn, import_caffe_weights
+    from eco_tpu.runtime import Program
+    from eco_tpu.spec.prototxt import graph_from_prototxt
+
+    graph = graph_from_prototxt(open(args.net).read())
+    prog = Program(graph, train=False)
+    sample = _synthesize_sample_inputs(prog, graph)
+    params, state = prog.init(jax.random.PRNGKey(0), sample)
+    expected = sorted(set(params) | set(state))
+    params, state, report = import_caffe_weights(
+        graph, params, state, args.caffemodel, bn_style=args.bn_style
+    )
+    gates: dict = {}
+    loaded = set(report["loaded"])
+    missing = [n for n in expected if n not in loaded]
+    gates["coverage"] = {
+        "loaded": len(loaded),
+        "skipped": sorted(set(report["skipped"])),
+        "unloaded_model_layers": missing,
+        "pass": not report["skipped"] and not missing,
+    }
+
+    # fixed-input forward: deterministic input the Caffe side can reproduce
+    rng = np.random.default_rng(args.seed)
+    fixed = {
+        k: (jnp.asarray(rng.integers(0, 2, v.shape), jnp.int32)
+            if v.dtype == jnp.int32
+            else jnp.asarray(rng.standard_normal(v.shape) * 10.0, jnp.float32))
+        for k, v in sample.items()
+    }
+    blob = args.blob or _default_parity_blob(prog)
+    outs, _ = prog.apply(params, state, fixed, capture=[blob])
+    logits = np.asarray(outs[blob], np.float32)
+
+    if args.ref_logits:
+        with np.load(args.ref_logits) as z:
+            ref = z["logits"].astype(np.float32)
+        diff = float(np.max(np.abs(logits - ref)))
+        gates["fixed_input_logits"] = {
+            "max_abs_diff": diff, "tol": args.tol, "pass": diff <= args.tol,
+        }
+    else:
+        dump = os.path.splitext(args.output)[0] + ".logits.npz" if args.output \
+            else "parity.logits.npz"
+        np.savez(dump, logits=logits, seed=np.int64(args.seed), blob=blob)
+        gates["fixed_input_logits"] = {
+            "dumped": dump, "note": "no --ref-logits given; run the Caffe "
+            "side on the same seeded input and re-run with --ref-logits",
+            "pass": True,
+        }
+
+    # BN-fold self-consistency (always runnable, no reference needed)
+    fg, fp, fs = fold_bn(graph, params, state)
+    fprog = Program(fg, train=False)
+    fouts, _ = fprog.apply(fp, fs, fixed, capture=[blob])
+    fdiff = float(np.max(np.abs(np.asarray(fouts[blob], np.float32) - logits)))
+    gates["bn_fold_consistency"] = {
+        "max_abs_diff": fdiff, "tol": args.tol, "pass": fdiff <= args.tol,
+    }
+
+    if args.list:
+        from eco_tpu.train.loop import SolverConfig, Trainer
+        from eco_tpu.train.solver import init_train_state
+
+        dcfg = _data_cfg_from_graph(graph, "test", args.list, args)
+        if dcfg is None:
+            raise SystemExit("--list given but graph has no VideoData layer")
+        pipe = _make_pipeline(args, dcfg, train=False, seed=0)
+        trainer = Trainer(prog, SolverConfig(), test_program=prog)
+        means = trainer.test(
+            init_train_state(params, state),
+            (pipe.next_batch() for _ in range(args.iterations)),
+        )
+        pipe.close()
+        g = {"metrics": {k: float(v) for k, v in means.items()}}
+        if args.expect_top1 is not None:
+            top1 = next(
+                (float(v) for k, v in means.items() if "top1" in k or k == "accuracy"),
+                None,
+            )
+            g["expect_top1"] = args.expect_top1
+            g["pass"] = (
+                top1 is not None and abs(top1 - args.expect_top1) <= args.top1_tol
+            )
+        else:
+            g["pass"] = True
+        gates["dataset_eval"] = g
+
+    verdict = {
+        "net": args.net,
+        "caffemodel": args.caffemodel,
+        "blob": blob,
+        "gates": gates,
+        "pass": all(g.get("pass", False) for g in gates.values()),
+    }
+    line = json.dumps(verdict)
+    print(line)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(line + "\n")
+    if not verdict["pass"]:
+        raise SystemExit(2)
+    return verdict
 
 
 def cmd_fold(args):
@@ -511,6 +646,32 @@ def main(argv=None):
     sp.add_argument("--bn-style", default="var", choices=["var", "inv_std"])
     sp.add_argument("-o", "--output", required=True)
     sp.set_defaults(fn=cmd_convert)
+
+    sp = sub.add_parser(
+        "parity",
+        help="run the docs/REAL_WEIGHTS.md gates against a caffemodel; "
+             "one JSON verdict, non-zero exit on failure",
+    )
+    sp.add_argument("--caffemodel", required=True)
+    sp.add_argument("--net", required=True)
+    sp.add_argument("--bn-style", default="var", choices=["var", "inv_std"])
+    sp.add_argument("--blob", default=None,
+                    help="output blob to compare (default: last output)")
+    sp.add_argument("--seed", type=int, default=12345,
+                    help="fixed-input seed (record for the Caffe side)")
+    sp.add_argument("--tol", type=float, default=1e-3,
+                    help="max abs logit diff (1e-3 f32; 2e-2 bf16)")
+    sp.add_argument("--ref-logits", default=None,
+                    help=".npz with key 'logits' from the Caffe run")
+    sp.add_argument("--list", default=None,
+                    help="video list for the dataset-eval gate")
+    sp.add_argument("--iterations", type=int, default=10)
+    sp.add_argument("--pipeline", default="python",
+                    choices=["python", "native", "raw", "native-raw"])
+    sp.add_argument("--expect-top1", type=float, default=None)
+    sp.add_argument("--top1-tol", type=float, default=0.005)
+    sp.add_argument("-o", "--output", default=None)
+    sp.set_defaults(fn=cmd_parity)
 
     sp = sub.add_parser("fold")
     common(sp)

@@ -57,15 +57,39 @@ layer { name: "top1" type: "Accuracy" bottom: "fc" bottom: "label"
 """
 
 
-def main():
-    from eco_tpu.convert.write import export_caffe_weights
-    from eco_tpu.spec.prototxt import graph_from_prototxt
+# Flow-modality variant: 2-channel (flow_x, flow_y) input, 2 classes keyed
+# on the flow_x brightness sign after 128 mean-subtraction.
+FLOW_PROTOTXT = """\
+name: "mini_flow"
+layer { name: "data" type: "VideoData" top: "data" top: "label"
+  video_data_param { source: "OVERRIDE_WITH_--list" batch_size: 2
+    new_length: 1 num_segments: 2 modality: FLOW
+    name_pattern: "flow_%05d.jpg" new_height: 48 new_width: 56 }
+  transform_param { crop_size: 32 is_flow: true
+    mean_value: 128 mean_value: 128 }
+  include { phase: TEST } }
+layer { name: "reshape_data" type: "Reshape" bottom: "data" top: "data_r"
+  reshape_param { shape { dim: [-1, 2, 32, 32] } } }
+layer { name: "conv1" type: "Convolution" bottom: "data_r" top: "conv1"
+  convolution_param { num_output: 2 kernel_size: 1 } }
+layer { name: "gp" type: "Pooling" bottom: "conv1" top: "gp"
+  pooling_param { pool: AVE kernel_size: 32 stride: 1 } }
+layer { name: "rsh" type: "Reshape" bottom: "gp" top: "rsh"
+  reshape_param { shape { dim: [-1, 1, 2, 2] } } }
+layer { name: "cons" type: "Pooling" bottom: "rsh" top: "cons"
+  pooling_param { pool: AVE kernel_h: 2 kernel_w: 1 } }
+layer { name: "rsh2" type: "Reshape" bottom: "cons" top: "feat"
+  reshape_param { shape { dim: -1 dim: 2 } } }
+layer { name: "fc" type: "InnerProduct" bottom: "feat" top: "fc"
+  inner_product_param { num_output: 2 } }
+layer { name: "loss" type: "SoftmaxWithLoss" bottom: "fc" bottom: "label"
+  top: "loss" }
+layer { name: "top1" type: "Accuracy" bottom: "fc" bottom: "label"
+  top: "top1" include { phase: TEST } }
+"""
 
-    proto_path = os.path.join(HERE, "mini_eco.prototxt")
-    with open(proto_path, "w") as f:
-        f.write(PROTOTXT)
-    graph = graph_from_prototxt(PROTOTXT)
 
+def _rgb_weights():
     eye = np.eye(3, dtype=np.float32)
     params = {
         # ours: (*k, in, out) -- channel-identity 1x1 conv
@@ -79,9 +103,50 @@ def main():
         "conv1_bn": {"mean": np.full(3, 5.0, np.float32),
                      "var": np.full(3, 4.0, np.float32)},
     }
+    return params, state
+
+
+def main():
+    from eco_tpu.convert.write import export_caffe_weights
+    from eco_tpu.spec.prototxt import graph_from_prototxt
+
+    proto_path = os.path.join(HERE, "mini_eco.prototxt")
+    with open(proto_path, "w") as f:
+        f.write(PROTOTXT)
+    graph = graph_from_prototxt(PROTOTXT)
+    params, state = _rgb_weights()
     model_path = os.path.join(HERE, "mini_eco.caffemodel")
     exported = export_caffe_weights(graph, params, state, model_path)
     print(f"wrote {proto_path} and {model_path} (layers: {exported})")
+
+    # inverse-std BN style (bn_convert_style.py:13-33): 4th blob = 1/sqrt(
+    # var+eps).  Importing with --bn-style inv_std must reconstruct var.
+    eps = 1e-5
+    state_istd = {
+        "conv1_bn": {
+            "mean": state["conv1_bn"]["mean"],
+            "var": 1.0 / np.sqrt(state["conv1_bn"]["var"] + eps),
+        }
+    }
+    istd_path = os.path.join(HERE, "mini_eco_invstd.caffemodel")
+    export_caffe_weights(graph, params, state_istd, istd_path)
+    print(f"wrote {istd_path}")
+
+    # flow-modality net: logit0 = -mean(flow_x - 128), logit1 = +mean(...)
+    flow_proto_path = os.path.join(HERE, "mini_flow.prototxt")
+    with open(flow_proto_path, "w") as f:
+        f.write(FLOW_PROTOTXT)
+    fgraph = graph_from_prototxt(FLOW_PROTOTXT)
+    wc = np.zeros((1, 1, 2, 2), np.float32)
+    wc[0, 0, 0, 0] = -1.0  # flow_x -> logit-feature 0 (negated)
+    wc[0, 0, 0, 1] = +1.0  # flow_x -> logit-feature 1
+    fparams = {
+        "conv1": {"w": wc, "b": np.zeros(2, np.float32)},
+        "fc": {"w": np.eye(2, dtype=np.float32), "b": np.zeros(2, np.float32)},
+    }
+    flow_model_path = os.path.join(HERE, "mini_flow.caffemodel")
+    exported = export_caffe_weights(fgraph, fparams, {}, flow_model_path)
+    print(f"wrote {flow_proto_path} and {flow_model_path} (layers: {exported})")
 
 
 if __name__ == "__main__":

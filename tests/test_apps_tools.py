@@ -177,6 +177,7 @@ def test_profiler_time_and_debug():
     assert "conv1_bn" in names and "probs" in names
 
 
+@pytest.mark.slow
 def test_cli_device_query_and_time(capsys):
     from eco_tpu.tools.cli import main
 

@@ -15,6 +15,8 @@ cv2 = pytest.importorskip("cv2")
 
 from eco_tpu.tools.cli import main
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model builds
+
 NET_TMPL = """
 name: "tinyvid"
 layer {{ name: "data" type: "VideoData" top: "data" top: "label"

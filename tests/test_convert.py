@@ -48,6 +48,7 @@ def test_parse_prototxt_basics():
 
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+@pytest.mark.slow
 def test_import_eco_lite_deploy_prototxt_and_run():
     text = open(f"{REF}/models_ECO_Lite/kinetics/deploy.prototxt").read()
     g = graph_from_prototxt(text)
@@ -70,6 +71,7 @@ def test_import_eco_lite_deploy_prototxt_and_run():
 
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+@pytest.mark.slow
 def test_import_eco_lite_train_prototxt_phases():
     text = open(f"{REF}/models_ECO_Lite/kinetics/ECO_Lite.prototxt").read()
     g = graph_from_prototxt(text)
@@ -268,6 +270,7 @@ def test_fold_bn_preserves_outputs_and_guards_residuals():
 
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+@pytest.mark.slow
 def test_import_bn_inception_deploy():
     # the 2D init model used by run.sh transfer init (232 layers)
     path = (
@@ -285,6 +288,7 @@ def test_import_bn_inception_deploy():
 
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+@pytest.mark.slow
 def test_import_c3d_resnet18_trainval():
     # the 3D init model: dense 16-frame clip, length_first layout
     path = (

@@ -166,6 +166,7 @@ def test_oversample_flow_video_and_flow_eval(flow_dir):
     assert acc == 1.0
 
 
+@pytest.mark.slow
 def test_flow_training_end_to_end(tmp_path, flow_dir):
     """Flow modality through the full stack: VideoPipeline(FLOW) ->
     flow-channel ECO-Lite -> train steps reduce loss (VERDICT r1 #7)."""

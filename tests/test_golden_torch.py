@@ -17,6 +17,8 @@ import torch.nn.functional as F
 from eco_tpu.models import build_eco_full, build_eco_lite
 from eco_tpu.runtime import Program
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model builds
+
 torch.set_grad_enabled(False)
 
 

@@ -8,6 +8,8 @@ import pytest
 from eco_tpu.models import build_eco_full, build_eco_lite, get_model
 from eco_tpu.runtime import Program
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model builds
+
 
 def _run(graph, train, inputs, rng=0):
     prog = Program(graph, train=train)

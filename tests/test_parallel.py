@@ -52,6 +52,7 @@ def test_mesh_construction():
         make_mesh({"data": 3})
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device():
     g = _small_video_graph(with_loss=True)
     prog = Program(g, train=True)
@@ -124,6 +125,7 @@ def test_eco_lite_multichip_dryrun():
     assert int(ts.it) == 1
 
 
+@pytest.mark.slow
 def test_segment_sharded_inference_matches_local():
     from eco_tpu.parallel import make_segment_sharded_infer_fn
 
@@ -139,6 +141,7 @@ def test_segment_sharded_inference_matches_local():
     np.testing.assert_allclose(np.asarray(local), np.asarray(out), rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_remat_train_step_matches_plain():
     from eco_tpu.train import make_train_step
 

@@ -25,9 +25,10 @@ from eco_tpu.spec.prototxt import graph_from_prototxt
 from test_golden_torch import _randomize_bn, torch_execute
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference not mounted"
-)
+pytestmark = [
+    pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted"),
+    pytest.mark.slow,  # full-model CPU compiles dominate
+]
 
 
 def _copy_by_name(src_params, src_state, dst_params, dst_state):

@@ -13,6 +13,7 @@ capability the reference's whole architecture exists for (ECO paper's
 motivating claim), and something its test suite never checks.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -20,6 +21,8 @@ import jax.numpy as jnp
 from eco_tpu.models import build_eco_lite
 from eco_tpu.runtime import Program
 from eco_tpu.train import SolverConfig, init_train_state, make_train_step
+
+pytestmark = pytest.mark.slow  # compile-heavy: full-model builds
 
 
 def _make_batch(rng, n, segments, crop):

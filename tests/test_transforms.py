@@ -1,5 +1,6 @@
 """Inference graph optimizations: sibling-1x1 merge + combined pipeline."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,7 @@ def test_merge_sibling_1x1_convs_exact():
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_optimize_for_inference_pipeline():
     g, prog, params, state, data = _setup()
     ref = prog.apply(params, state, {"data": data})[0]["probs"]

@@ -27,6 +27,8 @@ from eco_tpu.train import (
 )
 from eco_tpu.train.loop import Trainer
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model builds
+
 
 @pytest.fixture(scope="module")
 def dataset(tmp_path_factory):
