@@ -244,7 +244,8 @@ class _Eltwise(LayerImpl):
 
 class _Concat(LayerImpl):
     def apply(self, spec, params, state, inputs, ctx):
-        axis = int(spec.opt("axis", 1))
+        # concat_dim is the V0/V1 legacy spelling of axis
+        axis = int(spec.opt("axis", spec.opt("concat_dim", 1)))
         if axis == 1 or inputs[0].ndim <= 2:
             if inputs[0].ndim <= 2:
                 return [jnp.concatenate(inputs, axis=axis if axis != 1 else -1)], None

@@ -208,25 +208,154 @@ _V1_TYPES = {
 }
 
 
+# V0 "type" strings -> V2 type names (UpgradeV0LayerType, upgrade_proto.cpp)
+_V0_TYPES = {
+    "accuracy": "Accuracy", "bnll": "BNLL", "concat": "Concat",
+    "conv": "Convolution", "data": "Data", "dropout": "Dropout",
+    "euclidean_loss": "EuclideanLoss", "flatten": "Flatten",
+    "hdf5_data": "HDF5Data", "hdf5_output": "HDF5Output",
+    "im2col": "Im2col", "images": "ImageData",
+    "infogain_loss": "InfogainLoss", "innerproduct": "InnerProduct",
+    "lrn": "LRN", "multinomial_logistic_loss": "MultinomialLogisticLoss",
+    "pool": "Pooling", "relu": "ReLU", "sigmoid": "Sigmoid",
+    "softmax": "Softmax", "softmax_loss": "SoftmaxWithLoss",
+    "split": "Split", "tanh": "TanH", "window_data": "WindowData",
+}
+
+# V0 flat field -> (param message, V2 field name), conditioned on layer type
+# (UpgradeV0LayerParameter, upgrade_proto.cpp:118-470)
+_V0_FIELD_DEST = {
+    "num_output": {"conv": "convolution_param",
+                   "innerproduct": "inner_product_param"},
+    "biasterm": {"conv": "convolution_param",
+                 "innerproduct": "inner_product_param"},
+    "weight_filler": {"conv": "convolution_param",
+                      "innerproduct": "inner_product_param"},
+    "bias_filler": {"conv": "convolution_param",
+                    "innerproduct": "inner_product_param"},
+    "pad": {"conv": "convolution_param", "pool": "pooling_param"},
+    "kernelsize": {"conv": "convolution_param", "pool": "pooling_param"},
+    "stride": {"conv": "convolution_param", "pool": "pooling_param"},
+    "group": {"conv": "convolution_param"},
+    "pool": {"pool": "pooling_param"},
+    "dropout_ratio": {"dropout": "dropout_param"},
+    "local_size": {"lrn": "lrn_param"},
+    "alpha": {"lrn": "lrn_param"},
+    "beta": {"lrn": "lrn_param"},
+    "k": {"lrn": "lrn_param"},
+    "source": {"data": "data_param", "hdf5_data": "hdf5_data_param",
+               "images": "image_data_param",
+               "window_data": "window_data_param",
+               "infogain_loss": "infogain_loss_param"},
+    "batchsize": {"data": "data_param", "hdf5_data": "hdf5_data_param",
+                  "images": "image_data_param",
+                  "window_data": "window_data_param"},
+    "rand_skip": {"data": "data_param", "images": "image_data_param"},
+    "shuffle_images": {"images": "image_data_param"},
+    "new_height": {"images": "image_data_param"},
+    "new_width": {"images": "image_data_param"},
+    "concat_dim": {"concat": "concat_param"},
+}
+_V0_RENAME = {"biasterm": "bias_term", "kernelsize": "kernel_size",
+              "batchsize": "batch_size", "shuffle_images": "shuffle",
+              "meanfile": "mean_file", "cropsize": "crop_size"}
+# these always land in transform_param regardless of layer type
+_V0_TRANSFORM_FIELDS = ("scale", "meanfile", "cropsize", "mirror")
+
+
+def upgrade_v0_net(net: dict) -> dict:
+    """V0 text format -> V1-shaped dict (UpgradeV0Net, upgrade_proto.cpp):
+    ``layers { layer { name type <flat fields> } bottom top }`` becomes
+    ``layers { name type: "Str" <typed param messages> bottom top }`` which
+    :func:`upgrade_v1_net` then finishes (blobs_lr/weight_decay folding).
+
+    Includes the padding-layer absorption pass (UpgradeV0PaddingLayers):
+    standalone ``padding`` layers are deleted and their ``pad`` moves onto
+    the consuming conv/pool layer, rewiring its bottom.
+    """
+    conns = _as_list(net.get("layers"))
+    if not any(isinstance(c.get("layer"), dict) for c in conns):
+        return net
+
+    # pass 1: padding absorption (UpgradeV0PaddingLayers)
+    last_top: dict[str, dict] = {inp: None for inp in _as_list(net.get("input"))}
+    kept: list[dict] = []
+    for conn in conns:
+        conn = {**conn, "layer": dict(conn.get("layer", {})),
+                "bottom": list(_as_list(conn.get("bottom")))}
+        lp = conn["layer"]
+        if lp.get("type") != "padding":
+            kept.append(conn)
+            for j, b in enumerate(conn["bottom"]):
+                if b not in last_top:
+                    raise ValueError(f"unknown blob input {b!r}")
+                src = last_top[b]
+                if src is not None and src["layer"].get("type") == "padding":
+                    if lp.get("type") not in ("conv", "pool"):
+                        raise ValueError(
+                            "padding layer feeds non-conv/pool layer "
+                            f"{lp.get('type')!r}"
+                        )
+                    lp["pad"] = src["layer"]["pad"]
+                    conn["bottom"][j] = _as_list(src["bottom"])[0]
+        for t in _as_list(conn.get("top")):
+            last_top[t] = conn
+
+    # pass 2: scatter flat V0 fields into typed param messages
+    upgraded = []
+    for conn in kept:
+        lp = conn["layer"]
+        t = str(lp.get("type", ""))
+        nl: dict[str, Any] = {
+            "bottom": conn["bottom"], "top": list(_as_list(conn.get("top"))),
+        }
+        if "name" in lp:
+            nl["name"] = lp["name"]
+        nl["type"] = _V0_TYPES.get(t, t)
+        for key in ("blobs_lr", "weight_decay"):
+            if key in lp:
+                nl[key] = lp[key]
+        for key, value in lp.items():
+            if key in ("name", "type", "blobs", "blobs_lr", "weight_decay"):
+                continue
+            if key in _V0_TRANSFORM_FIELDS:
+                nl.setdefault("transform_param", {})[
+                    _V0_RENAME.get(key, key)] = value
+                continue
+            dest = _V0_FIELD_DEST.get(key, {}).get(t)
+            if dest is None:
+                import warnings
+
+                warnings.warn(
+                    f"V0 upgrade: unknown parameter {key!r} for layer type "
+                    f"{t!r}; dropped", stacklevel=2,
+                )
+                continue
+            field = _V0_RENAME.get(key, key)
+            if field == "concat_dim":
+                field = "axis"
+            nl.setdefault(dest, {})[field] = value
+        upgraded.append(nl)
+    out = {k: v for k, v in net.items() if k != "layers"}
+    out["layers"] = upgraded
+    return out
+
+
 def upgrade_v1_net(net: dict) -> dict:
     """V1 text format -> V2: ``layers { type: ENUM ... }`` becomes
     ``layer { type: "Str" ... }`` with ``blobs_lr``/``weight_decay``/string
     ``param`` share-names folded into V2 ``param { lr_mult decay_mult name }``
     (upgrade_proto.cpp UpgradeV1Net/UpgradeV1LayerParameter, :15-470).
 
-    V0 nets (a nested ``layer { ... }`` message inside ``layers``) predate
-    typed param submessages and are rejected with a clear error.
+    V0 nets (a nested ``layer { ... }`` message inside ``layers``) are first
+    migrated by :func:`upgrade_v0_net`.
     """
     if "layers" not in net:
         return net
+    net = upgrade_v0_net(net)
     out = {k: v for k, v in net.items() if k != "layers"}
     upgraded = list(_as_list(out.get("layer")))
     for l in _as_list(net["layers"]):
-        if isinstance(l.get("layer"), dict):
-            raise ValueError(
-                "V0 prototxt format (nested layer{} inside layers{}) is not "
-                "supported; run the stock upgrade_net_proto_text tool first"
-            )
         nl = dict(l)
         t = str(nl.get("type", ""))
         nl["type"] = _V1_TYPES.get(t.upper(), t)

@@ -559,3 +559,63 @@ layers { name: "prob" type: SOFTMAX bottom: "pool1" top: "prob" }
     dst2 = tmp_path / "v2b.prototxt"
     cli_main(["upgrade", str(dst), str(dst2)])
     assert parse_prototxt(dst2.read_text()) == parse_prototxt(out)
+
+
+def test_v0_prototxt_upgrade_and_run():
+    """V0 text nets (nested layer{} inside layers{}, flat fields, standalone
+    padding layers) migrate through upgrade_v0_net -> upgrade_v1_net and
+    execute (upgrade_proto.cpp UpgradeV0Net/UpgradeV0PaddingLayers)."""
+    import warnings
+
+    from eco_tpu.spec.prototxt import graph_from_prototxt
+
+    text = """
+name: "v0net"
+input: "data"
+input_dim: 1 input_dim: 3 input_dim: 10 input_dim: 10
+layers {
+  layer { name: "pad1" type: "padding" pad: 2 }
+  bottom: "data" top: "pad1" }
+layers {
+  layer { name: "conv1" type: "conv" num_output: 4 kernelsize: 5 stride: 1
+          group: 1 biasterm: true blobs_lr: 1. blobs_lr: 2. }
+  bottom: "pad1" top: "conv1" }
+layers {
+  layer { name: "relu1" type: "relu" }
+  bottom: "conv1" top: "conv1" }
+layers {
+  layer { name: "pool1" type: "pool" pool: MAX kernelsize: 2 stride: 2 }
+  bottom: "conv1" top: "pool1" }
+layers {
+  layer { name: "fc" type: "innerproduct" num_output: 3 }
+  bottom: "pool1" top: "fc" }
+layers {
+  layer { name: "prob" type: "softmax" }
+  bottom: "fc" top: "prob" }
+"""
+    g = graph_from_prototxt(text)
+    names = [l.name for l in g.layers]
+    assert "pad1" not in names  # padding absorbed
+    conv = g.layer("conv1")
+    assert conv.opt("pad") == 2 and conv.opt("kernel_size") == 5
+    assert conv.bottoms == ("data",)  # rewired past the padding layer
+    assert conv.params[0].lr_mult == 1.0 and conv.params[1].lr_mult == 2.0
+    prog = Program(g, train=False)
+    data = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 10, 10, 3)), jnp.float32
+    )
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    # pad 2 + k5 s1 keeps 10x10; pool 2/2 -> 5x5
+    outs, _ = prog.apply(params, state, {"data": data}, capture=["pool1"])
+    assert outs["pool1"].shape == (1, 5, 5, 4)
+    np.testing.assert_allclose(float(jnp.sum(outs["prob"])), 1.0, rtol=1e-5)
+
+    # unknown V0 field on the wrong type warns instead of failing
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        graph_from_prototxt("""
+input: "x"  input_dim: 1 input_dim: 3 input_dim: 4 input_dim: 4
+layers { layer { name: "r" type: "relu" dropout_ratio: 0.5 }
+  bottom: "x" top: "y" }
+""")
+    assert any("dropout_ratio" in str(x.message) for x in w)
