@@ -89,10 +89,24 @@ class RawPreprocessProgram:
         self.exec_layers = program.exec_layers
         self.total_loss = program.total_loss
 
-    _AUG_KEYS = ("h_off", "w_off", "mirror")
+    _AUG_KEYS = ("h_off", "w_off", "mirror", "crop_h", "crop_w")
 
     def _clips(self, inputs):
         dtype = self.compute_dtype or jnp.float32
+        if "crop_h" in inputs:
+            # multi-scale: sampled (crop_h, crop_w) window -> on-device
+            # crop + bilinear resize as MXU matmuls (ops/resize.py)
+            from eco_tpu.ops.resize import preprocess_resize_on_device
+
+            return preprocess_resize_on_device(
+                inputs["data"],
+                jnp.asarray(inputs["h_off"], jnp.int32),
+                jnp.asarray(inputs["w_off"], jnp.int32),
+                jnp.asarray(inputs["crop_h"], jnp.int32),
+                jnp.asarray(inputs["crop_w"], jnp.int32),
+                jnp.asarray(inputs["mirror"], bool),
+                crop=self.crop, mean=self.mean, out_dtype=dtype,
+            )
         return preprocess_on_device(
             inputs["data"],
             jnp.asarray(inputs["h_off"], jnp.int32),

@@ -103,14 +103,9 @@ class NativeVideoPipeline:
             )
         if cfg.raw and not (cfg.new_height and cfg.new_width):
             raise ValueError("raw mode needs new_height/new_width (fixed size)")
-        if cfg.raw and train and t.multi_scale:
-            # the on-device kernel crops at a FIXED size; refuse rather than
-            # silently train with weaker augmentation (same rule as the
-            # python pipeline's raw mode)
-            raise ValueError(
-                "raw mode cannot honor transform.multi_scale (fixed-size "
-                "on-device crop); set multi_scale=False or use a f32 pipeline"
-            )
+        # raw + multi_scale: the C++ loader samples (crop_h, crop_w) per
+        # video and the device crops + resizes (ops/resize.py)
+        self._raw_multi_scale = bool(cfg.raw and train and t.multi_scale)
         self.cfg = cfg
         self._lib = lib
         source = cfg.source
@@ -149,7 +144,7 @@ class NativeVideoPipeline:
             self._data = np.empty(
                 (cfg.batch_size, T, cfg.new_height, cfg.new_width, 3), np.uint8
             )
-            self._offs = np.empty((cfg.batch_size, 2), np.int32)
+            self._offs = np.empty((cfg.batch_size, 4), np.int32)
             self._mirror = np.empty((cfg.batch_size,), np.uint8)
         else:
             self._data = np.empty(
@@ -172,13 +167,17 @@ class NativeVideoPipeline:
             )
             if rc != 0:
                 raise RuntimeError("native loader stopped")
-            return {
+            batch = {
                 "data": self._data.copy(),
                 "h_off": self._offs[:, 0].copy(),
                 "w_off": self._offs[:, 1].copy(),
                 "mirror": self._mirror.astype(bool),
                 "label": self._label.copy(),
             }
+            if self._raw_multi_scale:
+                batch["crop_h"] = self._offs[:, 2].copy()
+                batch["crop_w"] = self._offs[:, 3].copy()
+            return batch
         rc = self._lib.eco_loader_next(
             self._handle,
             self._data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -74,15 +74,12 @@ class VideoPipeline:
             raise ValueError("empty video list")
         if cfg.raw and not (cfg.new_height and cfg.new_width):
             raise ValueError("raw mode needs new_height/new_width (fixed size)")
-        if cfg.raw and train and cfg.transform.multi_scale:
-            # the on-device kernel crops at a FIXED size; multi-scale needs a
-            # variable crop + resize.  Refuse instead of silently training
-            # with weaker augmentation (set transform.multi_scale=False, or
-            # use the python/native f32 pipelines for multi-scale).
-            raise ValueError(
-                "raw mode cannot honor transform.multi_scale (fixed-size "
-                "on-device crop); set multi_scale=False or use a f32 pipeline"
-            )
+        # raw + multi_scale: the host samples (crop_h, crop_w) per video and
+        # the device crops + bilinearly resizes inside the jitted step
+        # (ops/resize.py); batches then carry crop_h/crop_w columns.
+        self._raw_multi_scale = bool(
+            cfg.raw and train and cfg.transform.multi_scale
+        )
         # twin-seeded RNGs like the reference (video_data_layer.cpp:126-131)
         self._shuffle_rng = np.random.default_rng(seed)
         self._frame_rng = np.random.default_rng(seed + 1)
@@ -133,20 +130,29 @@ class VideoPipeline:
             t = cfg.transform
             h, w = stack.shape[1:3]
             cs = t.crop_size
+            crop_h = crop_w = cs
             if self.train:
+                if self._raw_multi_scale:
+                    from eco_tpu.data.transform import fill_crop_sizes
+
+                    sizes = fill_crop_sizes(h, w, cs, cs, t.max_distort,
+                                            t.scale_ratios)
+                    crop_h, crop_w = sizes[rng.integers(0, len(sizes))]
                 if t.fix_crop:
                     from eco_tpu.data.transform import fill_fix_offsets
 
-                    offs = fill_fix_offsets(h, w, cs, cs, t.more_fix_crop)
+                    offs = fill_fix_offsets(h, w, crop_h, crop_w,
+                                            t.more_fix_crop)
                     h_off, w_off = offs[rng.integers(0, len(offs))]
                 else:  # uniform random offsets, matching transform_stack
-                    h_off = int(rng.integers(0, h - cs + 1))
-                    w_off = int(rng.integers(0, w - cs + 1))
+                    h_off = int(rng.integers(0, h - crop_h + 1))
+                    w_off = int(rng.integers(0, w - crop_w + 1))
                 mirror = bool(t.mirror and rng.integers(0, 2))
             else:
                 h_off, w_off = (h - cs) // 2, (w - cs) // 2
                 mirror = False
-            return stack, np.int32(h_off), np.int32(w_off), mirror
+            return (stack, np.int32(h_off), np.int32(w_off), mirror,
+                    np.int32(crop_h), np.int32(crop_w))
         return transform_stack(stack, cfg.transform, train=self.train, rng=rng)
 
     def _make_batch(self):
@@ -180,14 +186,18 @@ class VideoPipeline:
         # per-batch cursor skip for the other ranks
         self._advance((self.world - 1) * cfg.batch_size)
         if cfg.raw:
-            stacks, h_off, w_off, mirror = zip(*arrs)
-            return {
+            stacks, h_off, w_off, mirror, crop_h, crop_w = zip(*arrs)
+            batch = {
                 "data": np.stack(stacks),  # uint8 (N, S*L, H, W, C)
                 "h_off": np.asarray(h_off, np.int32),
                 "w_off": np.asarray(w_off, np.int32),
                 "mirror": np.asarray(mirror, bool),
                 "label": np.asarray(labels, np.int32),
             }
+            if self._raw_multi_scale:
+                batch["crop_h"] = np.asarray(crop_h, np.int32)
+                batch["crop_w"] = np.asarray(crop_w, np.int32)
+            return batch
         return {
             "data": np.stack(arrs),
             "label": np.asarray(labels, np.int32),

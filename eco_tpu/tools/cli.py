@@ -110,22 +110,9 @@ def _make_pipeline(args, dcfg, *, train, seed=0, rank=0, world=1):
         if not (dcfg.new_height and dcfg.new_width):
             # raw mode needs fixed decode size; the reference standard
             dcfg = dataclasses.replace(dcfg, new_height=256, new_width=340)
-        if train and dcfg.transform.multi_scale:
-            # the pipelines REFUSE this combination (fixed-size on-device
-            # crop); --pipeline raw is an explicit opt-in, so downgrade
-            # loudly instead of erroring on stock prototxts
-            print(
-                "[eco] WARNING: --pipeline raw cannot honor multi_scale "
-                "augmentation; training with fixed-size crops "
-                "(multi_scale=False). Use --pipeline python/native for "
-                "reference-exact augmentation.",
-                flush=True,
-            )
-            dcfg = dataclasses.replace(
-                dcfg,
-                transform=dataclasses.replace(
-                    dcfg.transform, multi_scale=False),
-            )
+        # both raw planes honor multi_scale: the host (python or C++)
+        # samples (crop_h, crop_w) per video and the device crops + resizes
+        # inside the jitted step (ops/resize.py)
         dcfg = dataclasses.replace(dcfg, raw=True)
     if kind in ("native", "native-raw"):
         from eco_tpu.data.native import NativeVideoPipeline

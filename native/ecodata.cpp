@@ -195,7 +195,9 @@ struct Loader {
   }
 
   // Raw mode: decode only; emit uint8 frames + the augment decision the
-  // device-side kernel will apply (fixed-size crop offsets + mirror).
+  // device side will apply: (h_off, w_off, crop_h, crop_w) + mirror.  With
+  // multi_scale the sampled window differs from crop and the device resizes
+  // (eco_tpu/ops/resize.py); otherwise crop_h == crop_w == crop.
   bool load_one_raw(const Record& rec, uint64_t seed, uint8_t* out,
                     int32_t* offs, uint8_t* mirror) {
     std::mt19937_64 rng(seed);
@@ -203,27 +205,36 @@ struct Loader {
     if (!decode_frames(rec, rng, &frames)) return false;
     const int H = frames[0].rows, W = frames[0].cols, cs = cfg.crop;
     if (H < cs || W < cs) return false;
+    int crop_h = cs, crop_w = cs;
     int h_off = (H - cs) / 2, w_off = (W - cs) / 2;
     bool do_mirror = false;
     if (cfg.train) {
-      // multi_scale cannot be honored here (the device kernel crops at a
-      // fixed size); the python wrapper refuses that config up front.
+      if (cfg.multi_scale) {
+        std::vector<std::pair<int, int>> sizes;
+        fill_crop_sizes(H, W, cs, cfg.max_distort, &sizes);
+        auto pick = sizes[std::uniform_int_distribution<size_t>(
+            0, sizes.size() - 1)(rng)];
+        crop_h = pick.first;
+        crop_w = pick.second;
+      }
       if (cfg.fix_crop) {
         std::vector<std::pair<int, int>> fo;
-        fill_fix_offsets(H, W, cs, cs, cfg.more_fix_crop, &fo);
+        fill_fix_offsets(H, W, crop_h, crop_w, cfg.more_fix_crop, &fo);
         auto pick =
             fo[std::uniform_int_distribution<size_t>(0, fo.size() - 1)(rng)];
         h_off = pick.first;
         w_off = pick.second;
       } else {
-        h_off = std::uniform_int_distribution<int>(0, H - cs)(rng);
-        w_off = std::uniform_int_distribution<int>(0, W - cs)(rng);
+        h_off = std::uniform_int_distribution<int>(0, H - crop_h)(rng);
+        w_off = std::uniform_int_distribution<int>(0, W - crop_w)(rng);
       }
       do_mirror =
           cfg.mirror && std::uniform_int_distribution<int>(0, 1)(rng) == 1;
     }
     offs[0] = h_off;
     offs[1] = w_off;
+    offs[2] = crop_h;
+    offs[3] = crop_w;
     *mirror = do_mirror ? 1 : 0;
     const size_t frame_bytes = size_t(H) * W * 3;
     for (size_t t = 0; t < frames.size(); ++t) {
@@ -315,7 +326,7 @@ struct Loader {
       try {  // cv::Exception must not escape the thread (std::terminate)
         if (cfg.raw)
           return load_one_raw(rec, seed, raw + size_t(i) * item_raw_bytes(),
-                              offs + 2 * i, mirrors + i);
+                              offs + 4 * i, mirrors + i);
         return load_one(rec, seed, data + size_t(i) * item_floats());
       } catch (const std::exception&) {
         return false;
@@ -454,7 +465,7 @@ Loader* eco_loader_create(const char* list_path, int batch, int segments,
   for (int s = 0; s < 2; ++s) {
     if (c.raw) {
       l->buf_raw[s].resize(l->batch_raw_bytes());
-      l->buf_offs[s].resize(size_t(batch) * 2);
+      l->buf_offs[s].resize(size_t(batch) * 4);
       l->buf_mirror[s].resize(batch);
     } else {
       l->buf_data[s].resize(l->batch_floats());
@@ -486,8 +497,8 @@ int eco_loader_next(Loader* l, float* data, int32_t* labels) {
 
 // Raw mode: copies the next batch of resized uint8 frames + augment
 // decisions.  data: batch*S*L*new_height*new_width*3 uint8 (channels-last
-// BGR); offs: batch*2 int32 (h_off, w_off); mirror: batch uint8; labels:
-// batch int32.
+// BGR); offs: batch*4 int32 (h_off, w_off, crop_h, crop_w); mirror: batch
+// uint8; labels: batch int32.
 int eco_loader_next_raw(Loader* l, uint8_t* data, int32_t* offs,
                         uint8_t* mirror, int32_t* labels) {
   std::unique_lock<std::mutex> lk(l->mu);
@@ -497,7 +508,7 @@ int eco_loader_next_raw(Loader* l, uint8_t* data, int32_t* offs,
   int slot = l->read_slot;
   std::memcpy(data, l->buf_raw[slot].data(), l->batch_raw_bytes());
   std::memcpy(offs, l->buf_offs[slot].data(),
-              size_t(l->cfg.batch) * 2 * sizeof(int32_t));
+              size_t(l->cfg.batch) * 4 * sizeof(int32_t));
   std::memcpy(mirror, l->buf_mirror[slot].data(), l->cfg.batch);
   std::memcpy(labels, l->buf_label[slot].data(),
               l->cfg.batch * sizeof(int32_t));

@@ -171,22 +171,42 @@ def test_native_raw_mode_contract(video_root):
     assert not b2["mirror"].any()
 
 
-def test_raw_mode_refuses_multi_scale(video_root):
-    """raw + train + multi_scale must refuse (fixed-size on-device crop)
-    instead of silently training with weaker augmentation."""
-    import pytest
+def test_raw_mode_multi_scale_contract(video_root):
+    """Raw + train + multi_scale: BOTH pipelines ship per-video
+    (crop_h, crop_w) columns for the on-device crop+resize (ops/resize.py),
+    with windows that stay inside the decoded frame."""
+    from eco_tpu.data import VideoPipeline
 
     cfg = VideoDataConfig(
         source=video_root, batch_size=2, num_segments=2, new_height=48,
         new_width=56, raw=True,
         transform=TransformConfig(crop_size=32, multi_scale=True),
     )
-    with pytest.raises(ValueError, match="multi_scale"):
-        NativeVideoPipeline(cfg, train=True, seed=0)
-    from eco_tpu.data import VideoPipeline
-
-    with pytest.raises(ValueError, match="multi_scale"):
-        VideoPipeline(cfg, train=True, seed=0)
+    for cls in (VideoPipeline, NativeVideoPipeline):
+        kw = {"num_workers": 2}
+        pipe = cls(cfg, train=True, seed=0, **kw)
+        try:
+            seen_scaled = False
+            for _ in range(4):
+                b = pipe.next_batch()
+                assert b["data"].dtype == np.uint8
+                assert set(b) >= {"crop_h", "crop_w", "h_off", "w_off",
+                                  "mirror"}
+                assert (b["crop_h"] <= 48).all() and (b["crop_h"] >= 31).all()
+                assert (b["h_off"] + b["crop_h"] <= 48).all()
+                assert (b["w_off"] + b["crop_w"] <= 56).all()
+                seen_scaled |= bool((b["crop_h"] != 32).any()
+                                    or (b["crop_w"] != 32).any())
+            assert seen_scaled, f"{cls.__name__} never sampled a non-1.0 scale"
+        finally:
+            pipe.close()
+    # eval mode keeps the fixed center-crop contract (no crop_h/crop_w keys)
+    pipe = NativeVideoPipeline(cfg, train=False, seed=0, num_workers=2)
+    try:
+        b = pipe.next_batch()
+        assert "crop_h" not in b
+    finally:
+        pipe.close()
     # eval mode (center crop) is fine
     NativeVideoPipeline(cfg, train=False, seed=0).close()
 
