@@ -145,7 +145,8 @@ class MultiStreamRecognizer:
     def __init__(self, program, params, state, *, num_streams: int,
                  num_segments: int = 16, crop_size: int = 224,
                  max_windows: int = 5, output: str = None,
-                 window_memory: str = "destructive"):
+                 window_memory: str = "destructive",
+                 num_workers: int = 0):
         self.n = num_streams
         self.single = OnlineRecognizer(
             program, params, state, num_segments=num_segments,
@@ -153,15 +154,28 @@ class MultiStreamRecognizer:
             window_memory=window_memory,
         )
         self._streams = [_StreamState() for _ in range(num_streams)]
+        # per-frame cv2 preprocessing releases the GIL; on multi-core serving
+        # hosts a pool keeps the host side off the critical path
+        self._pool = None
+        if num_workers:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=num_workers)
 
     def push_frames(self, frames: Sequence[np.ndarray]):
         """One frame per stream. Returns list of (label, smoothed) or None."""
         assert len(frames) == self.n
+        if self._pool is not None:
+            pre = list(self._pool.map(
+                lambda f: preprocess_frame(f, crop_size=self.single.crop_size),
+                frames,
+            ))
+        else:
+            pre = [preprocess_frame(f, crop_size=self.single.crop_size)
+                   for f in frames]
         ready = []
-        for s, frame in zip(self._streams, frames):
-            s.pending.append(
-                preprocess_frame(frame, crop_size=self.single.crop_size)
-            )
+        for s, frame in zip(self._streams, pre):
+            s.pending.append(frame)
             if len(s.pending) >= self.single.num_segments:
                 s.windows.append(s.pending)
                 s.pending = []
