@@ -250,7 +250,8 @@ def bench_online(num_streams=64, ticks=3, num_segments=16):
     return out
 
 
-def bench_preprocess_kernel(n=8, s=16, hw=(256, 340), crop=224, iters=16):
+def bench_preprocess_kernel(n=8, s=16, hw=(256, 340), crop=224, iters=128,
+                            repeats=3):
     """Device-side A/B of the Pallas crop_normalize kernel (VERDICT r2 #5):
     kernel ms vs an XLA dynamic-slice+subtract baseline at the serving shape,
     plus the HBM roofline floor, measured with the K-vs-1-proof device loop
@@ -293,12 +294,15 @@ def bench_preprocess_kernel(n=8, s=16, hw=(256, 340), crop=224, iters=16):
             return jnp.sum(sums)
         float(loop(frames, offs, k=1))       # compile both lengths
         float(loop(frames, offs, k=iters + 1))
-        t1 = time.perf_counter()
-        float(loop(frames, offs, k=1))
-        t_one = time.perf_counter() - t1
-        t2 = time.perf_counter()
-        float(loop(frames, offs, k=iters + 1))
-        t_many = time.perf_counter() - t2
+
+        def once(k):
+            t = time.perf_counter()
+            float(loop(frames, offs, k=k))
+            return time.perf_counter() - t
+        # min-of-repeats on each length: a single relay hiccup (~20ms) would
+        # otherwise dwarf the sub-ms op and can even make the diff negative
+        t_one = min(once(1) for _ in range(repeats))
+        t_many = min(once(iters + 1) for _ in range(repeats))
         return (t_many - t_one) / iters * 1e3  # ms per invocation
 
     pallas_ms = timed(pallas_fn)
