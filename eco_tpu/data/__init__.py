@@ -14,3 +14,5 @@ from eco_tpu.data.transform import (
     transform_stack,
 )
 from eco_tpu.data.pipeline import VideoDataConfig, VideoPipeline
+from eco_tpu.data.window import WindowSource, crop_window, parse_window_file
+from eco_tpu.data.seg import SegSource, parse_seg_list, transform_seg

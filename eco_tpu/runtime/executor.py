@@ -37,6 +37,7 @@ from eco_tpu.utils.shapes import normalize_spatial_param
 # Layer types whose tops are host-provided (the data boundary).
 DATA_LAYER_TYPES = {
     "videodata", "input", "imagedata", "data", "memorydata", "hdf5data",
+    "windowdata", "segdata",
 }
 
 

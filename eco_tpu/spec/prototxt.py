@@ -440,6 +440,8 @@ _OPTS_MAP = {
     "HDF5Output": ("hdf5_output_param", "hdf5output"),
     "DummyData": ("dummy_data_param", "dummydata"),
     "MultinomialLogisticLoss": ("loss_param", "multinomiallogisticloss"),
+    "WindowData": ("window_data_param", "windowdata"),
+    "SegData": ("seg_data_param", "segdata"),
 }
 
 

@@ -509,15 +509,12 @@ def test_format_prototxt_escapes_control_chars():
 
 
 def test_v1_enum_table_fully_covered():
-    """Every V1 LayerType (upgrade_proto.cpp enum) must lower AND execute,
-    except the documented LMDB-era drops (PARITY.md)."""
+    """Every V1 LayerType (upgrade_proto.cpp enum) must lower AND execute
+    (round 3: WindowData landed as data/window.py, closing the last gap)."""
     from eco_tpu.runtime.executor import DATA_LAYER_TYPES, get_impl
     from eco_tpu.spec.prototxt import _OPTS_MAP, _V1_TYPES
 
-    DROPPED = {"WindowData"}  # LMDB/window-sampling era, documented drop
     for v2 in sorted(set(_V1_TYPES.values())):
-        if v2 in DROPPED:
-            continue
         assert v2 in _OPTS_MAP, f"V1 type {v2} does not lower"
         our_type = _OPTS_MAP[v2][1]
         if our_type in DATA_LAYER_TYPES:
