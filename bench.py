@@ -479,24 +479,25 @@ def main():
                 extra.update(bench_online())
             except Exception as e:
                 extra["online_error"] = repr(e)
-        if not _over_budget("serving"):
-            try:
-                _note("serving bench")
-                extra.update(bench_serving())
-            except Exception as e:
-                extra["serving_error"] = repr(e)
-        if not _over_budget("pool_kernel_study"):
-            try:
-                _note("pool kernel A/B")
-                extra.update(bench_pool_kernels())
-            except Exception as e:
-                extra["pool_kernel_error"] = repr(e)
         if not _over_budget("preprocess_kernel_study"):
             try:
                 _note("preprocess kernel A/B")
                 extra.update(bench_preprocess_kernel())
             except Exception as e:
                 extra["preprocess_kernel_error"] = repr(e)
+        if not _over_budget("serving"):
+            try:
+                _note("serving bench")
+                extra.update(bench_serving())
+            except Exception as e:
+                extra["serving_error"] = repr(e)
+        # retained round-2 study, cheapest to lose under the wall budget
+        if not _over_budget("pool_kernel_study"):
+            try:
+                _note("pool kernel A/B")
+                extra.update(bench_pool_kernels())
+            except Exception as e:
+                extra["pool_kernel_error"] = repr(e)
     _note("done")
 
     print(

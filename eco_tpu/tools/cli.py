@@ -483,7 +483,9 @@ def cmd_online(args):
         params, state, _ = restore_weights(args.weights, params, state)
     labels = None
     if args.classes:
-        labels = [l.strip() for l in open(args.classes)]
+        from eco_tpu.tools.datasets import load_class_index
+
+        labels = load_class_index(args.classes)
     rec = OnlineRecognizer(prog, params, state, num_segments=args.segments)
     frames = sorted(os.listdir(args.frames))
     for i, name in enumerate(frames):
@@ -496,6 +498,20 @@ def cmd_online(args):
             label = labels[idx] if labels else str(idx)
             print(f"frame {i + 1}: prediction = {label} "
                   f"(logit {smoothed[idx]:.3f})")
+
+
+def cmd_convert_imageset(args):
+    """Pack an image list into HDF5 (tools/convert_imageset.cpp parity;
+    LMDB/LevelDB -> HDF5 is the documented backend substitution)."""
+    from eco_tpu.tools.datasets import convert_imageset
+
+    n = convert_imageset(
+        args.root_folder, args.list_file, args.output,
+        gray=args.gray, shuffle=args.shuffle,
+        resize_height=args.resize_height, resize_width=args.resize_width,
+    )
+    print(f"wrote {n} records to {args.output}")
+    return 0
 
 
 def cmd_extract(args):
@@ -691,6 +707,19 @@ def main(argv=None):
     sp.add_argument("input")
     sp.add_argument("output")
     sp.set_defaults(fn=cmd_upgrade)
+
+    sp = sub.add_parser(
+        "convert-imageset",  # tools/convert_imageset.cpp parity (HDF5 target)
+        help="pack an image list into an HDF5 record store",
+    )
+    sp.add_argument("root_folder")
+    sp.add_argument("list_file", help="lines of 'relative/path.jpg label'")
+    sp.add_argument("output", help="output .h5 (data: NCHW uint8, label)")
+    sp.add_argument("--gray", action="store_true")
+    sp.add_argument("--shuffle", action="store_true")
+    sp.add_argument("--resize-height", type=int, default=0)
+    sp.add_argument("--resize-width", type=int, default=0)
+    sp.set_defaults(fn=cmd_convert_imageset)
 
     sp = sub.add_parser("extract")  # extract_features parity
     common(sp)

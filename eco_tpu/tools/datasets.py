@@ -51,6 +51,29 @@ def class_index(classes: Sequence[str]) -> dict[str, int]:
     return {c: i for i, c in enumerate(sorted(classes))}
 
 
+def load_class_index(path: str) -> dict[int, str]:
+    """Parse a class-map file into {index: name}.
+
+    Accepts the reference's ``class_ind_*.txt`` format -- lines of
+    ``index<ws>'name'`` split on the first whitespace with quotes stripped
+    (scripts/online_recognition/online_recognition.py:20-28) -- and plain
+    one-name-per-line files (index = line number).
+    """
+    mapping: dict[int, str] = {}
+    with open(path) as f:
+        for i, line in enumerate(f):
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split(None, 1)
+            if len(parts) == 2 and parts[0].lstrip("-").isdigit():
+                idx, name = int(parts[0]), parts[1]
+            else:
+                idx, name = i, line
+            mapping[idx] = name.strip().strip("'\"")
+    return mapping
+
+
 def compute_image_mean(
     records,
     *,
@@ -95,3 +118,88 @@ def extract_frames(
     ]
     subprocess.run(cmd, check=True)
     return sum(1 for f in os.listdir(out_dir) if f.endswith(".jpg"))
+
+
+def convert_imageset(
+    root_folder: str,
+    list_file: str,
+    out_h5: str,
+    *,
+    gray: bool = False,
+    shuffle: bool = False,
+    resize_height: int = 0,
+    resize_width: int = 0,
+    seed: int = 0,
+) -> int:
+    """``convert_imageset`` parity (tools/convert_imageset.cpp), re-targeted
+    at HDF5: read ``subfolder/file.JPEG label`` lines, optionally shuffle /
+    resize / grayscale, and write one ``.h5`` with Caffe-convention NCHW
+    uint8 "data" + int "label" datasets (readable by
+    :class:`eco_tpu.data.hdf5.HDF5Source`, which converts to channels-last).
+
+    The reference stores Datum records in LMDB/LevelDB; neither library
+    exists in this image and frame-dir/HDF5 are this framework's actual
+    data paths, so HDF5 is the native re-interpretation of "a packed
+    random-access record store".  FLAGS_check_size is implied (a packed
+    array needs uniform shapes).  Returns the number of records written.
+    """
+    import cv2
+    import numpy as np
+
+    try:
+        import h5py
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("convert_imageset requires h5py") from e
+
+    pairs = []
+    with open(list_file) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if len(parts) != 2:
+                raise ValueError(f"expected 'path label' line, got {line!r}")
+            pairs.append((parts[0], int(parts[1])))
+    if shuffle:  # FLAGS_shuffle (:73-78)
+        import random
+
+        random.Random(seed).shuffle(pairs)
+
+    images, labels = [], []
+    first_shape = None
+    for rel, label in pairs:
+        path = os.path.join(root_folder, rel)
+        img = _cv2_imread(cv2, path, gray)
+        if img is None:
+            # ReadImageToDatum logs and skips unreadable files (:90-95)
+            continue
+        if resize_height > 0 and resize_width > 0:
+            img = cv2.resize(img, (resize_width, resize_height),
+                             interpolation=cv2.INTER_LINEAR)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        if first_shape is None:
+            first_shape = img.shape
+        elif img.shape != first_shape:
+            # The reference's LMDB stores variable-size datums and only
+            # FLAGS_check_size enforces uniformity; a packed HDF5 array
+            # always needs it, so the check is unconditional here.
+            raise ValueError(
+                f"{path}: shape {img.shape} != {first_shape}; HDF5 needs "
+                "uniform shapes -- pass resize_height/resize_width"
+            )
+        images.append(np.transpose(img, (2, 0, 1)))  # HWC -> Caffe CHW
+        labels.append(label)
+
+    if not images:
+        raise ValueError(f"no readable images in {list_file!r}")
+    with h5py.File(out_h5, "w") as f:
+        f.create_dataset("data", data=np.stack(images).astype(np.uint8),
+                         compression="gzip")
+        f.create_dataset("label", data=np.asarray(labels, np.int64))
+    return len(images)
+
+
+def _cv2_imread(cv2, path, gray):
+    flag = cv2.IMREAD_GRAYSCALE if gray else cv2.IMREAD_COLOR
+    return cv2.imread(path, flag)

@@ -397,3 +397,64 @@ def test_online_full_memory_diverges_from_destructive():
         not np.array_equal(clips["full"][t], clips["destructive"][t])
         for t in range(1, 4)
     )
+
+
+def test_convert_imageset_to_hdf5(tmp_path):
+    """tools/convert_imageset.cpp parity: list of 'path label' lines packed
+    into a record store (HDF5 here), readable by HDF5Source."""
+    cv2 = pytest.importorskip("cv2")
+    pytest.importorskip("h5py")
+    from eco_tpu.data.hdf5 import HDF5Source
+    from eco_tpu.tools.cli import main as cli_main
+
+    rng = np.random.default_rng(0)
+    (tmp_path / "imgs").mkdir()
+    lines = []
+    for i in range(5):
+        img = rng.integers(0, 255, (20, 24, 3), np.uint8)
+        cv2.imwrite(str(tmp_path / "imgs" / f"{i}.png"), img)
+        lines.append(f"imgs/{i}.png {i % 3}")
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(lines) + "\n")
+    out = str(tmp_path / "set.h5")
+
+    rc = cli_main([
+        "convert-imageset", str(tmp_path), str(lst), out,
+        "--resize-height", "16", "--resize-width", "16",
+    ])
+    assert rc == 0
+
+    src = HDF5Source(out, batch_size=2)
+    batch = src.next_batch()
+    data, label = batch["data"], batch["label"]
+    assert data.shape == (2, 16, 16, 3)  # channels-last conversion applied
+    assert data.dtype == np.uint8
+    assert label.tolist() == [0, 1]
+
+    # grayscale + shuffle flags
+    out2 = str(tmp_path / "gray.h5")
+    rc = cli_main([
+        "convert-imageset", str(tmp_path), str(lst), out2, "--gray",
+        "--shuffle", "--resize-height", "8", "--resize-width", "8",
+    ])
+    assert rc == 0
+    import h5py
+
+    with h5py.File(out2) as f:
+        assert f["data"].shape == (5, 1, 8, 8)
+        assert sorted(f["label"][:].tolist()) == [0, 0, 1, 1, 2]
+
+
+def test_load_class_index_reference_format(tmp_path):
+    """Parses the reference's class_ind_*.txt format (index<tab>'name',
+    online_recognition.py:20-28) and plain one-per-line files."""
+    from eco_tpu.tools.datasets import load_class_index
+
+    p = tmp_path / "class_ind.txt"
+    p.write_text("0   'abseiling'\n1   'air drumming'\n\n2   'answering questions'\n")
+    m = load_class_index(str(p))
+    assert m == {0: "abseiling", 1: "air drumming", 2: "answering questions"}
+
+    q = tmp_path / "plain.txt"
+    q.write_text("cat\ndog\n")
+    assert load_class_index(str(q)) == {0: "cat", 1: "dog"}
