@@ -449,8 +449,12 @@ def main():
     if os.environ.get("ECO_BENCH_SKIP_EXTRAS", "0") != "1":
         if not _over_budget("eco_full_infer"):
             try:
-                rf = bench_infer("eco_full_kinetics", batch=48)
+                rf = bench_infer("eco_full_kinetics", batch=48, with_cost=True)
                 extra["eco_full_infer_videos_per_sec"] = round(rf["videos_per_sec"], 1)
+                if "mfu_vs_v5e_bf16_peak" in rf:
+                    extra["eco_full_mfu_vs_v5e_bf16_peak"] = round(
+                        rf["mfu_vs_v5e_bf16_peak"], 3
+                    )
             except Exception as e:
                 extra["eco_full_infer_error"] = repr(e)
         train_batches = tuple(
