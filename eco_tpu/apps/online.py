@@ -162,6 +162,22 @@ class MultiStreamRecognizer:
 
             self._pool = ThreadPoolExecutor(max_workers=num_workers)
 
+    def close(self):
+        """Shut down the preprocessing worker pool (idempotent).  Without
+        this, pool threads outlive the recognizer for the process
+        lifetime -- serving hosts that rebuild recognizers on weight
+        reloads would accumulate them."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
     def push_frames(self, frames: Sequence[np.ndarray]):
         """One frame per stream. Returns list of (label, smoothed) or None."""
         assert len(frames) == self.n

@@ -189,6 +189,15 @@ def crop_window(
         out_h = min(out_h, crop_size - pad_h)
         out_w = min(out_w, crop_size - pad_w)
 
+    if x1 < 0 or y1 < 0 or x2 >= cols or y2 >= rows or x2 < x1 or y2 < y1:
+        # The reference would abort here too (cv::Mat rejects an
+        # out-of-bounds cv::Rect); raise a window-specific error instead of
+        # silently wrapping via Python negative indexing.
+        raise ValueError(
+            f"window ({window.x1},{window.y1},{window.x2},{window.y2}) out "
+            f"of bounds for {rows}x{cols} image (clip proposals first or "
+            "use context_pad)"
+        )
     roi = img[y1 : y2 + 1, x1 : x2 + 1]
     warped = cv2.resize(roi, (out_w, out_h), interpolation=cv2.INTER_LINEAR)
     if warped.ndim == 2:

@@ -57,6 +57,28 @@ def to_physical(x: jax.Array) -> jax.Array:
     return jnp.moveaxis(x, 1, -1)
 
 
+def extract_windows(x: jax.Array, kernel, stride, outs, dilation=None):
+    """Core window gather shared by :func:`im2col` and
+    ``ops.pool.extract_pool_windows``: K strided slices over the
+    (already padded) input, stacked to ``(N, *out, C, K)`` with kernel
+    offsets ordered row-major (the Caffe im2col order).  Callers own the
+    padding policy and output-dim arithmetic, which is where the two
+    differ (symmetric conv padding + dilation vs ceil-mode high-pad).
+    """
+    import itertools
+
+    if dilation is None:
+        dilation = (1,) * len(kernel)
+    slices = []
+    for offs in itertools.product(*[range(k) for k in kernel]):
+        idx = (slice(None),) + tuple(
+            slice(o * d, o * d + (out - 1) * s + 1, s)
+            for o, d, out, s in zip(offs, dilation, outs, stride)
+        ) + (slice(None),)
+        slices.append(x[idx])
+    return jnp.stack(slices, axis=-1)
+
+
 def im2col(x: jax.Array, kernel, stride=1, pad=0, dilation=1) -> jax.Array:
     """Explicit column view (im2col_layer.cpp / util/im2col.cpp:91-269).
 
@@ -66,8 +88,6 @@ def im2col(x: jax.Array, kernel, stride=1, pad=0, dilation=1) -> jax.Array:
     no gather.  On TPU this layer is only a compatibility surface (XLA's
     conv does its own implicit im2col on the MXU).
     """
-    import itertools
-
     from eco_tpu.utils.shapes import normalize_spatial_param
 
     num_spatial = x.ndim - 2
@@ -82,14 +102,7 @@ def im2col(x: jax.Array, kernel, stride=1, pad=0, dilation=1) -> jax.Array:
         (size - d * (k - 1) - 1) // s + 1
         for size, k, s, d in zip(spatial, kernel, stride, dilation)
     ]
-    slices = []
-    for offs in itertools.product(*[range(k) for k in kernel]):
-        idx = (slice(None),) + tuple(
-            slice(o * d, o * d + (out - 1) * s + 1, s)
-            for o, d, out, s in zip(offs, dilation, outs, stride)
-        ) + (slice(None),)
-        slices.append(x[idx])
-    cols = jnp.stack(slices, axis=-1)  # (N, *out, C, K)
+    cols = extract_windows(x, kernel, stride, outs, dilation)  # (N,*out,C,K)
     return cols.reshape(cols.shape[:-2] + (-1,))
 
 

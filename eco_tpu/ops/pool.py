@@ -104,7 +104,7 @@ def extract_pool_windows(x: jax.Array, kernel, stride) -> jax.Array:
     absent (zero mass / zero contribution), matching the reference clip.
     Offsets are ordered row-major (i*kw + j), the Caffe im2col order.
     """
-    import itertools
+    from eco_tpu.ops.layout import extract_windows
 
     num_spatial = x.ndim - 2
     kernel = normalize_spatial_param(kernel, num_spatial)
@@ -116,14 +116,7 @@ def extract_pool_windows(x: jax.Array, kernel, stride) -> jax.Array:
             for o, s, k, size in zip(outs, stride, kernel, spatial)]
     if any(need):
         x = jnp.pad(x, [(0, 0)] + [(0, n) for n in need] + [(0, 0)])
-    slices = []
-    for offs in itertools.product(*[range(k) for k in kernel]):
-        idx = (slice(None),) + tuple(
-            slice(o, o + (out - 1) * s + 1, s)
-            for o, out, s in zip(offs, outs, stride)
-        ) + (slice(None),)
-        slices.append(x[idx])
-    return jnp.stack(slices, axis=-1)  # (N, *out, C, K)
+    return extract_windows(x, kernel, stride, outs)  # (N, *out, C, K)
 
 
 def stochastic_pool(x: jax.Array, kernel, stride=1, *, train: bool,

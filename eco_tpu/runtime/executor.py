@@ -594,6 +594,13 @@ class _DummyData(LayerImpl):
         shapes = self._shapes(spec)
         if len(fillers) == 1:
             fillers = fillers * len(shapes)
+        elif len(fillers) != len(shapes):
+            # dummy_data_layer.cpp CHECKs 1-or-N fillers; without this a
+            # zip would silently drop the unmatched tops.
+            raise ValueError(
+                f"DummyData {spec.name!r}: {len(fillers)} data_fillers for "
+                f"{len(shapes)} shapes (need 1 or exactly one per shape)"
+            )
         outs = []
         for i, (shape, f) in enumerate(zip(shapes, fillers)):
             ftype = str(f.get("type", "constant")).lower()

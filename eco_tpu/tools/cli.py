@@ -396,7 +396,8 @@ def cmd_parity(args):
         if dcfg is None:
             raise SystemExit("--list given but graph has no VideoData layer")
         pipe = _make_pipeline(args, dcfg, train=False, seed=0)
-        trainer = Trainer(prog, SolverConfig(), test_program=prog)
+        eprog = _wrap_raw(args, prog, dcfg)  # raw plane: on-chip crop/mean
+        trainer = Trainer(eprog, SolverConfig(), test_program=eprog)
         means = trainer.test(
             init_train_state(params, state),
             (pipe.next_batch() for _ in range(args.iterations)),
@@ -669,6 +670,10 @@ def main(argv=None):
     sp.add_argument("--list", default=None,
                     help="video list for the dataset-eval gate")
     sp.add_argument("--iterations", type=int, default=10)
+    # deploy-style nets have no VideoData layer; the dataset gate then
+    # builds its pipeline from these (same defaults as the zoo path)
+    sp.add_argument("--batch", type=int, default=8)
+    sp.add_argument("--segments", type=int, default=16)
     sp.add_argument("--pipeline", default="python",
                     choices=["python", "native", "raw", "native-raw"])
     sp.add_argument("--expect-top1", type=float, default=None)

@@ -59,18 +59,29 @@ def load_class_index(path: str) -> dict[int, str]:
     (scripts/online_recognition/online_recognition.py:20-28) -- and plain
     one-name-per-line files (index = line number).
     """
-    mapping: dict[int, str] = {}
     with open(path) as f:
-        for i, line in enumerate(f):
-            line = line.strip()
-            if not line:
-                continue
-            parts = line.split(None, 1)
-            if len(parts) == 2 and parts[0].lstrip("-").isdigit():
-                idx, name = int(parts[0]), parts[1]
-            else:
-                idx, name = i, line
-            mapping[idx] = name.strip().strip("'\"")
+        lines = [l.strip() for l in f if l.strip()]
+    # Indexed format iff every line leads with an integer and those
+    # integers form one contiguous run -- this keeps plain files whose
+    # names merely START with a number ("10 meter platform diving") from
+    # being misparsed, and dense line-counting immune to blank lines.
+    leads = []
+    for line in lines:
+        parts = line.split(None, 1)
+        if len(parts) == 2 and parts[0].lstrip("-").isdigit():
+            leads.append(int(parts[0]))
+        else:
+            leads = None
+            break
+    mapping: dict[int, str] = {}
+    if leads is not None and lines and sorted(leads) == list(
+        range(min(leads), min(leads) + len(leads))
+    ):
+        for line, idx in zip(lines, leads):
+            mapping[idx] = line.split(None, 1)[1].strip().strip("'\"")
+    else:
+        for i, line in enumerate(lines):
+            mapping[i] = line.strip("'\"")
     return mapping
 
 
@@ -165,39 +176,52 @@ def convert_imageset(
 
         random.Random(seed).shuffle(pairs)
 
-    images, labels = [], []
+    # Stream into a resizable dataset: the reference's LMDB writer commits
+    # in batches of 1000 (:108-117) precisely so dataset size never has to
+    # fit in RAM; mirror that instead of stacking everything first.
+    n = 0
+    labels: list[int] = []
     first_shape = None
-    for rel, label in pairs:
-        path = os.path.join(root_folder, rel)
-        img = _cv2_imread(cv2, path, gray)
-        if img is None:
-            # ReadImageToDatum logs and skips unreadable files (:90-95)
-            continue
-        if resize_height > 0 and resize_width > 0:
-            img = cv2.resize(img, (resize_width, resize_height),
-                             interpolation=cv2.INTER_LINEAR)
-        if img.ndim == 2:
-            img = img[:, :, None]
-        if first_shape is None:
-            first_shape = img.shape
-        elif img.shape != first_shape:
-            # The reference's LMDB stores variable-size datums and only
-            # FLAGS_check_size enforces uniformity; a packed HDF5 array
-            # always needs it, so the check is unconditional here.
-            raise ValueError(
-                f"{path}: shape {img.shape} != {first_shape}; HDF5 needs "
-                "uniform shapes -- pass resize_height/resize_width"
-            )
-        images.append(np.transpose(img, (2, 0, 1)))  # HWC -> Caffe CHW
-        labels.append(label)
-
-    if not images:
-        raise ValueError(f"no readable images in {list_file!r}")
     with h5py.File(out_h5, "w") as f:
-        f.create_dataset("data", data=np.stack(images).astype(np.uint8),
-                         compression="gzip")
-        f.create_dataset("label", data=np.asarray(labels, np.int64))
-    return len(images)
+        dset = None
+        for rel, label in pairs:
+            path = os.path.join(root_folder, rel)
+            img = _cv2_imread(cv2, path, gray)
+            if img is None:
+                # ReadImageToDatum logs and skips unreadable files (:90-95)
+                continue
+            if resize_height > 0 and resize_width > 0:
+                img = cv2.resize(img, (resize_width, resize_height),
+                                 interpolation=cv2.INTER_LINEAR)
+            if img.ndim == 2:
+                img = img[:, :, None]
+            if first_shape is None:
+                first_shape = img.shape
+            elif img.shape != first_shape:
+                # The reference's LMDB stores variable-size datums and only
+                # FLAGS_check_size enforces uniformity; a packed HDF5 array
+                # always needs it, so the check is unconditional here.
+                raise ValueError(
+                    f"{path}: shape {img.shape} != {first_shape}; HDF5 "
+                    "needs uniform shapes -- pass resize_height/resize_width"
+                )
+            chw = np.transpose(img, (2, 0, 1)).astype(np.uint8)  # Caffe CHW
+            if dset is None:
+                dset = f.create_dataset(
+                    "data", shape=(0,) + chw.shape,
+                    maxshape=(None,) + chw.shape, dtype=np.uint8,
+                    chunks=(1,) + chw.shape, compression="gzip",
+                )
+            dset.resize(n + 1, axis=0)
+            dset[n] = chw
+            n += 1
+            labels.append(label)
+        if n > 0:
+            f.create_dataset("label", data=np.asarray(labels, np.int64))
+    if n == 0:
+        os.remove(out_h5)  # don't leave an empty store behind
+        raise ValueError(f"no readable images in {list_file!r}")
+    return n
 
 
 def _cv2_imread(cv2, path, gray):

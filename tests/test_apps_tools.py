@@ -458,3 +458,54 @@ def test_load_class_index_reference_format(tmp_path):
     q = tmp_path / "plain.txt"
     q.write_text("cat\ndog\n")
     assert load_class_index(str(q)) == {0: "cat", 1: "dog"}
+
+
+def test_load_class_index_blank_lines_and_digit_names(tmp_path):
+    """Blank lines must not shift plain-format indices, and names that
+    merely start with a number must not be parsed as indexed format."""
+    from eco_tpu.tools.datasets import load_class_index
+
+    p = tmp_path / "plain_blank.txt"
+    p.write_text("cat\n\ndog\n")
+    assert load_class_index(str(p)) == {0: "cat", 1: "dog"}
+
+    q = tmp_path / "digit_names.txt"
+    q.write_text("10 meter platform diving\n100 meter dash\n")
+    assert load_class_index(str(q)) == {
+        0: "10 meter platform diving", 1: "100 meter dash",
+    }
+
+
+def test_dummy_data_filler_count_mismatch():
+    """3 shapes + 2 fillers must raise, not silently drop the third top."""
+    from eco_tpu.runtime.executor import get_impl
+    from eco_tpu.spec.graph import LayerSpec
+
+    spec = LayerSpec(
+        name="dd", type="dummydata", bottoms=(), tops=("a", "b", "c"),
+        options={
+            "shape": [{"dim": [1, 2]}, {"dim": [1, 2]}, {"dim": [1, 2]}],
+            "data_filler": [{"type": "constant"}, {"type": "constant"}],
+        },
+    )
+    from eco_tpu.runtime.executor import Context
+
+    with pytest.raises(ValueError, match="data_fillers"):
+        get_impl("dummydata").apply(spec, {}, {}, [], Context(train=False))
+
+
+def test_multistream_close_shuts_pool(tmp_path):
+    """MultiStreamRecognizer.close() must stop the worker pool."""
+    from eco_tpu.models import get_model
+
+    graph = get_model("eco_lite_kinetics", num_segments=4, batch=2)
+    prog = Program(graph, train=False)
+    params, state = prog.init(jax.random.PRNGKey(0), {
+        "data": jnp.zeros((2, 4, 224, 224, 3), jnp.float32)})
+    from eco_tpu.apps.online import MultiStreamRecognizer
+
+    with MultiStreamRecognizer(prog, params, state, num_streams=2,
+                               num_segments=4, num_workers=2) as rec:
+        assert rec._pool is not None
+    assert rec._pool is None
+    rec.close()  # idempotent

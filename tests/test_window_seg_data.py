@@ -235,3 +235,14 @@ class TestSegSource:
             assert data.shape == (1, 24, 24, 3)
             assert label.shape == (1, 24, 24)
             assert label.dtype == np.int32
+
+
+def test_crop_window_rejects_out_of_bounds_plain(img_file):
+    """Plain-warp path must reject unclipped proposals instead of wrapping
+    via negative indexing (the reference's cv::Rect would abort)."""
+    _, img = img_file
+    for w in (Window(0, 1, 1.0, -3, 2, 23, 17),
+              Window(0, 1, 1.0, 4, 2, 60, 17),
+              Window(0, 1, 1.0, 4, -1, 23, 17)):
+        with pytest.raises(ValueError, match="out of bounds"):
+            crop_window(img, w, crop_size=16)
