@@ -149,8 +149,11 @@ def cmd_time(args):
     from eco_tpu.runtime import Program
     from eco_tpu.runtime.profiler import format_layer_times, time_layers
 
+    # `caffe time` builds the TRAIN-phase net and reports per-layer
+    # forward AND backward ms (tools/caffe.cpp:318-357); --backward
+    # reproduces that, the default stays the cheaper forward-only table.
     graph = _build_graph(args, with_loss=False)
-    prog = Program(graph, train=False,
+    prog = Program(graph, train=args.backward,
                    compute_dtype=jnp.bfloat16 if args.bf16 else None)
     shape = graph.inputs.get("data")
     data = jnp.asarray(
@@ -158,7 +161,8 @@ def cmd_time(args):
     )
     params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
     rows = time_layers(prog, params, state, {"data": data}, iters=args.iters,
-                       method=args.method, repeats=args.repeats)
+                       method=args.method, repeats=args.repeats,
+                       backward=args.backward)
     print(format_layer_times(rows))
 
 
@@ -639,6 +643,8 @@ def main(argv=None):
                     choices=["auto", "host", "device_loop"],
                     help="device_loop = K-vs-1 on-device timing (accurate "
                          "through remote relays); auto picks it on TPU")
+    sp.add_argument("--backward", action="store_true",
+                    help="also time each layer's VJP (caffe time parity)")
     sp.set_defaults(fn=cmd_time)
 
     sp = sub.add_parser("device-query")
