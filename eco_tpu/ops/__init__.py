@@ -4,6 +4,7 @@ from eco_tpu.ops.pool import (
     global_avg_pool,
     max_pool,
     pool_nd,
+    roi_max_pool,
     stochastic_pool,
 )
 from eco_tpu.ops.norm import (

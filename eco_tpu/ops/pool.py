@@ -158,3 +158,62 @@ def global_avg_pool(x, keepdims: bool = False):
     """Global spatial mean -- the (4,7,7) head pool collapses to one mean."""
     axes = tuple(range(1, x.ndim - 1))
     return jnp.mean(x, axis=axes, keepdims=keepdims, dtype=jnp.float32).astype(x.dtype)
+
+
+def roi_max_pool(x: jax.Array, rois: jax.Array, *, pooled_h: int,
+                 pooled_w: int, spatial_scale: float = 1.0) -> jax.Array:
+    """Fast R-CNN ROI max pooling (roi_pooling_layer.cpp:28-130).
+
+    ``x``: (N, H, W, C) channels-last feature map; ``rois``: (R, 5) rows of
+    ``[batch_index, x1, y1, x2, y2]`` in input-image coordinates (scaled by
+    ``spatial_scale`` onto the feature map, rounded).  Each ROI is divided
+    into a ``pooled_h x pooled_w`` grid of bins with
+    ``start = floor(p*bin), end = ceil((p+1)*bin)`` and max-pooled; empty
+    bins emit 0.
+
+    TPU-native formulation: the reference's per-bin scalar loops become two
+    separable masked-max contractions (rows then columns) under ``vmap``
+    over ROIs -- bin extents are traced VALUES (not shapes), so the whole
+    thing jits with a static (R, pooled_h, pooled_w, C) output.
+    """
+    n, h, w, c = x.shape
+    rf = rois.astype(jnp.float32)
+    batch_idx = rois[:, 0].astype(jnp.int32)
+
+    def _round(v):  # C round(): half away from zero (jnp.round is banker's)
+        return jnp.sign(v) * jnp.floor(jnp.abs(v) + 0.5)
+
+    start_w = _round(rf[:, 1] * spatial_scale)
+    start_h = _round(rf[:, 2] * spatial_scale)
+    end_w = _round(rf[:, 3] * spatial_scale)
+    end_h = _round(rf[:, 4] * spatial_scale)
+    roi_h = jnp.maximum(end_h - start_h + 1.0, 1.0)
+    roi_w = jnp.maximum(end_w - start_w + 1.0, 1.0)
+
+    def bin_masks(start, size, pooled, extent):
+        """(pooled, extent) bool mask of positions inside each bin."""
+        p = jnp.arange(pooled, dtype=jnp.float32)
+        bin_size = size / pooled
+        lo = jnp.floor(p * bin_size) + start           # inclusive
+        hi = jnp.ceil((p + 1.0) * bin_size) + start    # exclusive
+        lo = jnp.clip(lo, 0.0, float(extent))
+        hi = jnp.clip(hi, 0.0, float(extent))
+        pos = jnp.arange(extent, dtype=jnp.float32)
+        return (pos[None, :] >= lo[:, None]) & (pos[None, :] < hi[:, None])
+
+    neg = jnp.asarray(-jnp.inf, jnp.float32)
+
+    def one_roi(b, sh, rh, sw, rw):
+        feat = x[b].astype(jnp.float32)                      # (H, W, C)
+        mh = bin_masks(sh, rh, pooled_h, h)                  # (PH, H)
+        mw = bin_masks(sw, rw, pooled_w, w)                  # (PW, W)
+        rows = jnp.max(
+            jnp.where(mh[:, :, None, None], feat[None], neg), axis=1
+        )                                                    # (PH, W, C)
+        out = jnp.max(
+            jnp.where(mw[None, :, :, None], rows[:, None], neg), axis=2
+        )                                                    # (PH, PW, C)
+        return jnp.where(jnp.isfinite(out), out, 0.0)        # empty bin -> 0
+
+    out = jax.vmap(one_roi)(batch_idx, start_h, roi_h, start_w, roi_w)
+    return out.astype(x.dtype)

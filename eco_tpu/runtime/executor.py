@@ -625,6 +625,260 @@ class _DummyData(LayerImpl):
         return outs, None
 
 
+class _Log(LayerImpl):
+    """y = log_base(shift + scale * x); base -1 means e (log_layer.cpp,
+    caffe.proto LogParameter:773-780)."""
+
+    def apply(self, spec, params, state, inputs, ctx):
+        base = float(spec.opt("base", -1.0))
+        sc = float(spec.opt("scale", 1.0))
+        sh = float(spec.opt("shift", 0.0))
+        y = jnp.log(sh + sc * inputs[0].astype(jnp.float32))
+        if base > 0:
+            y = y / np.log(base)
+        return [y.astype(inputs[0].dtype)], None
+
+
+class _PReLU(LayerImpl):
+    """Parametric ReLU (prelu_layer.cpp; He et al. 2015): per-channel
+    learnable negative slope, optionally shared across channels
+    (PReLUParameter:1280-1289).  Filler default 0.25."""
+
+    def param_specs(self, spec, in_shapes):
+        c = 1 if spec.opt("channel_shared", False) else in_shapes[0][-1]
+        return {"slope": ((c,), jnp.float32,
+                          spec.opt("filler", {"type": "constant",
+                                              "value": 0.25}))}
+
+    def apply(self, spec, params, state, inputs, ctx):
+        x = inputs[0]
+        a = params["slope"].astype(x.dtype)
+        return [jnp.maximum(x, 0) + a * jnp.minimum(x, 0)], None
+
+
+class _Bias(LayerImpl):
+    """BiasLayer (bias_layer.cpp; BiasParameter:1327-1350): add a bias
+    broadcast from logical ``axis`` over ``num_axes`` axes.  The bias is
+    bottom[1] when given, else a learned parameter (filler default 0)."""
+
+    def _bias_shape(self, spec, in_shapes):
+        # logical (NCHW-style) input shape
+        phys = in_shapes[0]
+        logical = (phys[0], phys[-1]) + tuple(phys[1:-1]) \
+            if len(phys) >= 3 else tuple(phys)
+        axis = int(spec.opt("axis", 1)) % len(logical)
+        num_axes = int(spec.opt("num_axes", 1))
+        if num_axes == -1:
+            return logical[axis:], axis
+        return logical[axis: axis + num_axes], axis
+
+    def param_specs(self, spec, in_shapes):
+        if len(in_shapes) > 1:
+            return {}
+        shape, _ = self._bias_shape(spec, in_shapes)
+        return {"bias": (tuple(shape), jnp.float32,
+                         spec.opt("filler", {"type": "constant",
+                                             "value": 0.0}))}
+
+    def apply(self, spec, params, state, inputs, ctx):
+        x = ops.to_logical(inputs[0])
+        if len(inputs) > 1:
+            b = ops.to_logical(inputs[1])
+            axis = int(spec.opt("axis", 1)) % x.ndim
+        else:
+            shape, axis = self._bias_shape(
+                spec, [inputs[0].shape])
+            b = params["bias"]
+        # broadcast b across leading axes [0, axis) and all trailing axes
+        b = b.reshape((1,) * axis + b.shape
+                      + (1,) * (x.ndim - axis - b.ndim))
+        return [ops.to_physical(x + b.astype(x.dtype))], None
+
+
+class _Reduction(LayerImpl):
+    """ReductionLayer (reduction_layer.cpp; ReductionParameter:862-893):
+    reduce ALL tail axes from logical ``axis`` with SUM/ASUM/SUMSQ/MEAN,
+    times ``coeff``."""
+
+    def apply(self, spec, params, state, inputs, ctx):
+        x = ops.to_logical(inputs[0]).astype(jnp.float32)
+        axis = int(spec.opt("axis", 0)) % x.ndim
+        op = str(spec.opt("operation", "sum")).lower()
+        coeff = float(spec.opt("coeff", 1.0))
+        axes = tuple(range(axis, x.ndim))
+        if op in ("sum", "1"):
+            y = jnp.sum(x, axis=axes)
+        elif op in ("asum", "2"):
+            y = jnp.sum(jnp.abs(x), axis=axes)
+        elif op in ("sumsq", "3"):
+            y = jnp.sum(jnp.square(x), axis=axes)
+        elif op in ("mean", "4"):
+            y = jnp.mean(x, axis=axes)
+        else:
+            raise ValueError(f"unknown reduction operation {op!r}")
+        return [(coeff * y).astype(inputs[0].dtype)], None
+
+
+class _Normalize(LayerImpl):
+    """Per-sample L2 normalization over all non-batch dims
+    (normalize_layer.cpp:21-33)."""
+
+    def apply(self, spec, params, state, inputs, ctx):
+        x = inputs[0].astype(jnp.float32)
+        axes = tuple(range(1, x.ndim))
+        norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axes, keepdims=True))
+        return [(x / norm).astype(inputs[0].dtype)], None
+
+
+class _BatchReduction(LayerImpl):
+    """The TSN fork's BatchReductionLayer (batch_reduction_layer.cpp):
+    reduce logical ``axis`` blockwise.
+
+    - levels [l1, l2, ...] split the axis into blocks of tick_i = l_i^2,
+      each reduced with SUM/MEAN; output gains a len(levels) dim in place
+      of the axis.  levels == [1] (default) reduces the whole axis with no
+      extra dim (:54-63).
+    - TOPK (single level): mean of the k largest along the axis (:153-168).
+    - pos mode (single level): position-sensitive -- reduces (axis,
+      axis+1) jointly reading only the diagonal t*(tick+1) entries
+      (:125-129, the R-FCN-style sub-position pick).
+    """
+
+    def apply(self, spec, params, state, inputs, ctx):
+        rp = spec.opt("reduction_param", {}) or {}
+        op = str(rp.get("operation", "sum")).lower()
+        axis = int(rp.get("axis", 0))
+        levels = spec.opt("level", [1])
+        if isinstance(levels, (int, float)):
+            levels = [int(levels)]
+        levels = [int(l) for l in levels] or [1]
+        pos = bool(spec.opt("pos", False))
+        x = ops.to_logical(inputs[0])
+        axis = axis % x.ndim
+        xf = x.astype(jnp.float32)
+
+        if pos:
+            if len(levels) != 1:
+                raise ValueError("pos-sensitive reduction needs one level")
+            tick = x.shape[axis]
+            if x.shape[axis + 1] != tick:
+                raise ValueError(
+                    f"pos mode needs square (axis, axis+1) dims, got "
+                    f"{x.shape[axis]}x{x.shape[axis + 1]}"
+                )
+            diag = jnp.diagonal(xf, axis1=axis, axis2=axis + 1)
+            # diagonal moves the diag dim last; reduce it
+            y = jnp.sum(diag, axis=-1)
+            if op in ("mean", "4"):
+                y = y / tick
+            return [ops.to_physical(y.astype(x.dtype))], None
+
+        if op in ("topk", "5"):
+            if len(levels) != 1:
+                raise ValueError("top-k reduction works with one level")
+            k = int(rp.get("k", 1))
+            y = jnp.mean(
+                jax.lax.top_k(jnp.moveaxis(xf, axis, -1), k)[0], axis=-1
+            )
+            return [ops.to_physical(y.astype(x.dtype))], None
+
+        ticks = [l * l for l in levels]
+        if levels == [1]:
+            y = jnp.sum(xf, axis=axis)
+            if op in ("mean", "4"):
+                y = y / x.shape[axis]
+            return [ops.to_physical(y.astype(x.dtype))], None
+        if sum(ticks) != x.shape[axis]:
+            raise ValueError(
+                f"levels {levels} (ticks {ticks}) do not cover axis size "
+                f"{x.shape[axis]}"
+            )
+        pieces = []
+        start = 0
+        for tick in ticks:
+            blk = jax.lax.slice_in_dim(xf, start, start + tick, axis=axis)
+            red = jnp.sum(blk, axis=axis)
+            if op in ("mean", "4"):
+                red = red / tick
+            pieces.append(red)
+            start += tick
+        y = jnp.stack(pieces, axis=axis)  # (..., len(levels), ...)
+        return [ops.to_physical(y.astype(x.dtype))], None
+
+
+class _SPP(LayerImpl):
+    """Spatial pyramid pooling (spp_layer.cpp): for level l, a
+    2^l x 2^l grid pool with kernel = ceil(dim/bins), pad = (rem+1)/2,
+    stride = kernel; each level flattens to (N, C*bins^2) logical and all
+    levels concat on that axis.  pyramid_height == 1 degenerates to one
+    global pool with unflattened output (:132-139)."""
+
+    def apply(self, spec, params, state, inputs, ctx):
+        x = inputs[0]
+        height = int(spec.opt("pyramid_height", 1))
+        mode = str(spec.opt("pool", "max")).lower()
+        if x.ndim != 4:
+            raise ValueError("SPP expects a (N, H, W, C) input")
+        n, h, w, c = x.shape
+        if height == 1:
+            return [ops.pool_nd(x, global_pooling=True, mode=mode)], None
+        flats = []
+        for level in range(height):
+            bins = 2 ** level
+            kh = -(-h // bins)
+            kw = -(-w // bins)
+            ph = (kh * bins - h + 1) // 2
+            pw = (kw * bins - w + 1) // 2
+            y = ops.pool_nd(x, kernel=(kh, kw), stride=(kh, kw),
+                            pad=(ph, pw), mode=mode)
+            # flatten logical (N, C, bh, bw) -> (N, C*bh*bw)
+            flats.append(ops.to_logical(y).reshape(n, -1))
+        return [jnp.concatenate(flats, axis=1)], None
+
+
+class _ROIPooling(LayerImpl):
+    """Fast R-CNN ROI max pooling -- see ops.roi_max_pool.  Output is
+    logical (R, C, pooled_h, pooled_w); physical channels-last."""
+
+    def apply(self, spec, params, state, inputs, ctx):
+        y = ops.roi_max_pool(
+            inputs[0], inputs[1],
+            pooled_h=int(spec.opt("pooled_h", 0)),
+            pooled_w=int(spec.opt("pooled_w", 0)),
+            spatial_scale=float(spec.opt("spatial_scale", 1.0)),
+        )
+        return [y], None
+
+
+class _SmoothL1Loss(LayerImpl):
+    """Fast R-CNN smooth-L1 loss (smooth_L1_loss_layer.cu:13-50):
+    d = w * (b0 - b1); loss = sum(f(d)) / N with f(x) = 0.5 x^2 for
+    |x| < 1 else |x| - 0.5."""
+
+    def apply(self, spec, params, state, inputs, ctx):
+        d = inputs[0].astype(jnp.float32) - inputs[1].astype(jnp.float32)
+        if len(inputs) > 2:
+            d = d * inputs[2].astype(jnp.float32)
+        ad = jnp.abs(d)
+        f = jnp.where(ad < 1.0, 0.5 * jnp.square(d), ad - 0.5)
+        return [jnp.sum(f) / inputs[0].shape[0]], None
+
+
+class _Filter(LayerImpl):
+    """FilterLayer forwards only the batch items whose selector entry is
+    non-zero (filter_layer.cpp) -- a DATA-DEPENDENT output shape, which
+    XLA's static-shape compilation model cannot express.  Declared
+    unsupported; mask instead (multiply by the selector, or gather with a
+    statically sized index set)."""
+
+    def apply(self, spec, params, state, inputs, ctx):
+        raise NotImplementedError(
+            "Filter has a data-dependent output shape (rows whose selector "
+            "is non-zero), which cannot compile under XLA's static shapes; "
+            "use masking or a fixed-size gather instead (PARITY.md)"
+        )
+
+
 class _HDF5Output(LayerImpl):
     """Graph-form HDF5Output (hdf5_output_layer.cpp) -- a sink inside a
     traced program cannot do file IO; the write happens host-side via
@@ -736,6 +990,16 @@ IMPLS: dict[str, LayerImpl] = {
     "multinomiallogisticloss": _MultinomialLogisticLoss(),
     "dummydata": _DummyData(),
     "hdf5output": _HDF5Output(),
+    "log": _Log(),
+    "prelu": _PReLU(),
+    "bias": _Bias(),
+    "reduction": _Reduction(),
+    "normalize": _Normalize(),
+    "batchreduction": _BatchReduction(),
+    "spp": _SPP(),
+    "roipooling": _ROIPooling(),
+    "smoothl1loss": _SmoothL1Loss(),
+    "filter": _Filter(),
 }
 
 

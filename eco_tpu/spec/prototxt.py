@@ -442,6 +442,17 @@ _OPTS_MAP = {
     "MultinomialLogisticLoss": ("loss_param", "multinomiallogisticloss"),
     "WindowData": ("window_data_param", "windowdata"),
     "SegData": ("seg_data_param", "segdata"),
+    # V2-only tail: every remaining layer in src/caffe/layers/
+    "Log": ("log_param", "log"),
+    "PReLU": ("prelu_param", "prelu"),
+    "Bias": ("bias_param", "bias"),
+    "Reduction": ("reduction_param", "reduction"),
+    "BatchReduction": ("batch_reduction_param", "batchreduction"),
+    "Normalize": (None, "normalize"),
+    "SPP": ("spp_param", "spp"),
+    "ROIPooling": ("roi_pooling_param", "roipooling"),
+    "SmoothL1Loss": ("loss_param", "smoothl1loss"),
+    "Filter": (None, "filter"),
 }
 
 

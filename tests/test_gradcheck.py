@@ -156,6 +156,20 @@ CASES = [
         [(2, 5, 5, 3)]),
     ("im2col", LayerSpec("l", "im2col", ("x",), ("y",),
         {"kernel_size": 3, "stride": 2, "pad": 1}), [(2, 7, 7, 3)]),
+    ("log", LayerSpec("l", "log", ("x",), ("y",),
+        {"base": 10.0, "scale": 2.0, "shift": 5.0}), [(2, 4, 4, 3)]),
+    ("prelu", LayerSpec("l", "prelu", ("x",), ("y",), {}), [(2, 4, 4, 3)]),
+    ("bias", LayerSpec("l", "bias", ("x",), ("y",), {"axis": 1}),
+        [(2, 4, 4, 3)]),
+    ("reduction_mean", LayerSpec("l", "reduction", ("x",), ("y",),
+        {"operation": "mean", "axis": 1, "coeff": 2.0}), [(2, 4, 4, 3)]),
+    ("normalize", LayerSpec("l", "normalize", ("x",), ("y",), {}),
+        [(2, 4, 4, 3)]),
+    ("batchreduction_topk", LayerSpec("l", "batchreduction", ("x",), ("y",),
+        {"reduction_param": {"operation": "TOPK", "axis": 2, "k": 2}}),
+        [(2, 6, 3)]),
+    ("spp", LayerSpec("l", "spp", ("x",), ("y",),
+        {"pyramid_height": 2, "pool": "ave"}), [(2, 6, 6, 3)]),
 ]
 
 
