@@ -205,7 +205,23 @@ def cmd_train(args):
 
     it = micro_batches()
     first = next(it)
-    trainer = Trainer(train_prog, cfg, test_program=test_prog)
+    mesh = None
+    dp = args.dp if args.dp != 0 else len(jax.devices())
+    if dp > 1:
+        # data parallelism over local+remote chips: the reference's
+        # `mpirun -np N caffe train` becomes one mesh axis (GSPMD emits
+        # the gradient allreduce the MPI comm thread used to run)
+        from eco_tpu.parallel.mesh import make_mesh
+
+        batch = next(iter(first.values())).shape[1]
+        if batch % dp:
+            raise SystemExit(f"--dp {dp} must divide the batch size {batch}")
+        if dp > len(jax.devices()):
+            raise SystemExit(
+                f"--dp {dp} exceeds the {len(jax.devices())} visible devices"
+            )
+        mesh = make_mesh({"data": dp}, devices=jax.devices()[:dp])
+    trainer = Trainer(train_prog, cfg, test_program=test_prog, mesh=mesh)
     ts = trainer.init_state(
         {k: v[0] for k, v in first.items()}, seed=cfg.random_seed
     )
@@ -624,6 +640,9 @@ def main(argv=None):
     sp.add_argument("--weights", default=None)
     sp.add_argument("--caffe-weights", default=None)
     sp.add_argument("--snapshot", default=None)
+    sp.add_argument("--dp", type=int, default=1,
+                    help="data-parallel over N chips (0 = all devices); "
+                         "the `mpirun -np N` equivalent, via GSPMD")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("test")

@@ -81,6 +81,7 @@ class Trainer:
         log_fn: Callable[[str], None] = print,
         remat: Optional[str] = "auto",
         process_index: Optional[int] = None,
+        mesh=None,
     ):
         self.cfg = cfg
         self.train_program = train_program
@@ -95,6 +96,15 @@ class Trainer:
 
             remat = remat_policy_from_graph(train_program.graph)
         self.remat = remat
+        if step_fn is None and mesh is not None:
+            # data-parallel over the mesh: pjit shards the batch axis,
+            # replicates params, and emits/overlaps the gradient allreduce
+            # (the reference's whole MPI engine, channel.cpp/net.cpp:670-702)
+            from eco_tpu.parallel.shard import make_sharded_train_step
+
+            step_fn = make_sharded_train_step(
+                train_program, cfg, mesh, remat=remat
+            )
         self.step = step_fn or jax.jit(
             make_train_step(train_program, cfg, remat=remat)
         )

@@ -108,3 +108,16 @@ def test_cli_train_all_pipelines(pipeline, dataset, tmp_path):
             pytest.skip(f"native loader unavailable: {e}")
     net, solver = _write_cfg(tmp_path, dataset)
     main(["train", "--solver", solver, "--net", net, "--pipeline", pipeline])
+
+
+def test_cli_train_data_parallel(dataset, tmp_path):
+    """--dp N: the `mpirun -np N` equivalent -- pjit shards the batch over
+    a data mesh axis (make_sharded_train_step) straight from the CLI."""
+    net = tmp_path / "net.prototxt"
+    net.write_text(NET_TMPL.format(list=dataset).replace(
+        "batch_size: 3", "batch_size: 4"))
+    solver = tmp_path / "solver.prototxt"
+    solver.write_text(
+        SOLVER_TMPL.format(net=str(net), prefix=str(tmp_path / "snap"))
+    )
+    main(["train", "--solver", str(solver), "--net", str(net), "--dp", "4"])
