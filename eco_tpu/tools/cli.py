@@ -270,7 +270,17 @@ def cmd_test(args):
     from eco_tpu.train.solver import init_train_state
 
     ts = init_train_state(params, state)
-    trainer = Trainer(prog, SolverConfig(), test_program=prog)
+    mesh = None
+    dp = args.dp if args.dp != 0 else len(jax.devices())
+    if dp > 1:
+        from eco_tpu.parallel.mesh import make_mesh
+
+        if dcfg.batch_size % dp:
+            raise SystemExit(
+                f"--dp {dp} must divide the batch size {dcfg.batch_size}"
+            )
+        mesh = make_mesh({"data": dp}, devices=jax.devices()[:dp])
+    trainer = Trainer(prog, SolverConfig(), test_program=prog, mesh=mesh)
     batches = (pipe.next_batch() for _ in range(args.iterations))
     means = trainer.test(ts, batches)
     pipe.close()
@@ -649,6 +659,9 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--weights", required=True)
     sp.add_argument("--iterations", type=int, default=50)
+    sp.add_argument("--dp", type=int, default=1,
+                    help="data-parallel eval over N chips (0 = all); "
+                         "global-batch metrics = SyncOutput semantics")
     sp.set_defaults(fn=cmd_test)
 
     sp = sub.add_parser("time")

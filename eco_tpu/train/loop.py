@@ -108,9 +108,28 @@ class Trainer:
         self.step = step_fn or jax.jit(
             make_train_step(train_program, cfg, remat=remat)
         )
-        self.eval_step = (
-            jax.jit(make_eval_step(test_program)) if test_program is not None else None
-        )
+        self.eval_step = None
+        if test_program is not None:
+            ev = make_eval_step(test_program)
+            if mesh is not None:
+                # batch-sharded eval: in-graph metric tops (accuracy/loss)
+                # reduce over the GLOBAL batch, i.e. the reference's
+                # SyncOutput/SyncLoss allreduce-means (solver.cpp:372-392)
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                from eco_tpu.parallel.mesh import DATA_AXIS
+
+                bsh = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+
+                def ev_sharded(params, state, batch, _ev=ev, _bsh=bsh):
+                    batch = {
+                        k: jax.lax.with_sharding_constraint(v, _bsh)
+                        for k, v in batch.items()
+                    }
+                    return _ev(params, state, batch)
+
+                ev = ev_sharded
+            self.eval_step = jax.jit(ev)
         self.log = log_fn
         self.loss_window: collections.deque = collections.deque(
             maxlen=max(1, cfg.average_loss)

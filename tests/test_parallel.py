@@ -244,3 +244,36 @@ def test_syncbn_explicit_axis_name_matches_global():
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(nm), np.asarray(nm_ref), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(nv), np.asarray(nv_ref), rtol=1e-4, atol=1e-6)
+
+
+def test_trainer_sharded_eval_matches_single_device():
+    """Trainer(mesh=...) shards eval: global-batch metric tops (the
+    reference's SyncOutput/SyncLoss allreduce means, solver.cpp:372-392)
+    must equal the single-device run bit-for-tolerance."""
+    from eco_tpu.train.loop import SolverConfig, Trainer
+
+    graph = _small_video_graph(with_loss=True)
+    # accuracy top for a scalar metric
+    prog = Program(graph, train=False)
+    data = np.random.default_rng(0).standard_normal(
+        (8, 4, 16, 16, 3)).astype(np.float32)
+    label = np.arange(8) % 5
+    params, state = prog.init(jax.random.PRNGKey(0),
+                              {"data": data, "label": label})
+    from eco_tpu.train import init_train_state
+
+    ts = init_train_state(params, state)
+    batches = [{"data": data, "label": label},
+               {"data": data[::-1].copy(), "label": label[::-1].copy()}]
+
+    plain = Trainer(prog, SolverConfig(), test_program=prog,
+                    log_fn=lambda *_: None)
+    m0 = plain.test(ts, iter(batches))
+
+    mesh = make_mesh({"data": 4}, devices=jax.devices()[:4])
+    sharded = Trainer(prog, SolverConfig(), test_program=prog, mesh=mesh,
+                      log_fn=lambda *_: None)
+    m1 = sharded.test(ts, iter(batches))
+    assert m0.keys() == m1.keys() and m0
+    for k in m0:
+        np.testing.assert_allclose(m0[k], m1[k], rtol=2e-5, atol=1e-6)
