@@ -506,10 +506,12 @@ layers { name: "prob" type: SOFTMAX bottom: "fc" top: "prob" }
     outs, _ = prog.apply(params, state, {"data": data})
     assert outs["prob"].shape == (1, 5)
 
-    # V0 (nested layer message) is rejected loudly, not silently misparsed
+    # V0 (nested layer message) now MIGRATES (test_v0_prototxt_upgrade_and
+    # _run); a malformed V0 net with an undeclared blob still fails loudly
+    # instead of being silently misparsed.
     import pytest
 
-    with pytest.raises(ValueError, match="V0"):
+    with pytest.raises(ValueError, match="unknown blob"):
         graph_from_prototxt(
             'layers { layer { name: "c" type: "conv" num_output: 2 } '
             'bottom: "data" top: "c" }'
