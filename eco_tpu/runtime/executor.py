@@ -716,7 +716,8 @@ class _Reduction(LayerImpl):
             y = jnp.mean(x, axis=axes)
         else:
             raise ValueError(f"unknown reduction operation {op!r}")
-        return [(coeff * y).astype(inputs[0].dtype)], None
+        y = (coeff * y).astype(inputs[0].dtype)
+        return [ops.to_physical(y)], None
 
 
 class _Normalize(LayerImpl):
@@ -756,10 +757,24 @@ class _BatchReduction(LayerImpl):
         x = ops.to_logical(inputs[0])
         axis = axis % x.ndim
         xf = x.astype(jnp.float32)
+        if op in ("asum", "2", "sumsq", "3"):
+            # the reference declares these NOT_IMPLEMENTED
+            # (batch_reduction_layer.cpp Reshape); raise rather than
+            # silently computing a plain sum
+            raise NotImplementedError(
+                f"batch_reduction operation {op!r} is NOT_IMPLEMENTED in "
+                "the reference too (batch_reduction_layer.cpp)"
+            )
 
         if pos:
             if len(levels) != 1:
                 raise ValueError("pos-sensitive reduction needs one level")
+            if axis + 1 >= x.ndim:
+                # reference: CHECK_GE(shape.size() - 2, axis)
+                raise ValueError(
+                    f"pos mode reduces axes ({axis}, {axis + 1}) but the "
+                    f"input has only {x.ndim} logical dims"
+                )
             tick = x.shape[axis]
             if x.shape[axis + 1] != tick:
                 raise ValueError(
@@ -771,6 +786,10 @@ class _BatchReduction(LayerImpl):
             y = jnp.sum(diag, axis=-1)
             if op in ("mean", "4"):
                 y = y / tick
+            if levels != [1]:
+                # reference Reshape inserts the len(levels)(=1) level dim
+                # before the pos branch trims axis+1 (:54-63)
+                y = jnp.expand_dims(y, axis)
             return [ops.to_physical(y.astype(x.dtype))], None
 
         if op in ("topk", "5"):
@@ -829,6 +848,15 @@ class _SPP(LayerImpl):
             kw = -(-w // bins)
             ph = (kh * bins - h + 1) // 2
             pw = (kw * bins - w + 1) // 2
+            if ph >= kh or pw >= kw:
+                # Caffe's PoolingLayer CHECKs pad < kernel; without this a
+                # ceil-mode clip would emit a bin grid != 2^level x 2^level
+                # and silently change the concat feature length.
+                raise ValueError(
+                    f"SPP level {level}: {bins}x{bins} bins exceed the "
+                    f"{h}x{w} feature map (pad >= kernel, the reference "
+                    "aborts here too)"
+                )
             y = ops.pool_nd(x, kernel=(kh, kw), stride=(kh, kw),
                             pad=(ph, pw), mode=mode)
             # flatten logical (N, C, bh, bw) -> (N, C*bh*bw)
@@ -841,10 +869,16 @@ class _ROIPooling(LayerImpl):
     logical (R, C, pooled_h, pooled_w); physical channels-last."""
 
     def apply(self, spec, params, state, inputs, ctx):
+        ph = int(spec.opt("pooled_h", 0))
+        pw = int(spec.opt("pooled_w", 0))
+        if ph <= 0 or pw <= 0:
+            # reference: CHECK_GT(pooled_h/w, 0) (roi_pooling_layer.cpp:23-26)
+            raise ValueError(
+                f"ROIPooling {spec.name!r} needs pooled_h/pooled_w > 0 "
+                f"(got {ph}x{pw})"
+            )
         y = ops.roi_max_pool(
-            inputs[0], inputs[1],
-            pooled_h=int(spec.opt("pooled_h", 0)),
-            pooled_w=int(spec.opt("pooled_w", 0)),
+            inputs[0], inputs[1], pooled_h=ph, pooled_w=pw,
             spatial_scale=float(spec.opt("spatial_scale", 1.0)),
         )
         return [y], None

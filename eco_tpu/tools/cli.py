@@ -279,6 +279,10 @@ def cmd_test(args):
             raise SystemExit(
                 f"--dp {dp} must divide the batch size {dcfg.batch_size}"
             )
+        if dp > len(jax.devices()):
+            raise SystemExit(
+                f"--dp {dp} exceeds the {len(jax.devices())} visible devices"
+            )
         mesh = make_mesh({"data": dp}, devices=jax.devices()[:dp])
     trainer = Trainer(prog, SolverConfig(), test_program=prog, mesh=mesh)
     batches = (pipe.next_batch() for _ in range(args.iterations))

@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--workers", type=int, default=0,
                     help="host preprocessing threads (0 = inline)")
     args = ap.parse_args()
+    if args.streams < 1 or args.segments < 1 or args.ticks < 1:
+        ap.error("--streams/--segments/--ticks must all be >= 1")
 
     import jax
     import jax.numpy as jnp

@@ -237,3 +237,47 @@ def test_every_reference_layer_has_an_equivalent():
         assert ours in IMPLS, f"{ref} -> {ours} missing from IMPLS"
     for ref, ours in data_layers.items():
         assert ours in DATA_LAYER_TYPES, f"{ref} -> {ours} not a data type"
+
+
+def test_reduction_output_is_physical_channels_last():
+    """Review fix: Reduction must return physical layout like every layer.
+    axis=3 on logical (N,C,H,W) -> logical (N,C,H) -> physical (N,H,C)."""
+    phys = np.arange(24, dtype=np.float32).reshape(1, 4, 2, 3)  # (N,H,W,C)
+    spec = LayerSpec("l", "reduction", ("x",), ("y",),
+                     {"operation": "sum", "axis": 3})
+    (y,), _ = get_impl("reduction").apply(
+        spec, {}, {}, [jnp.asarray(phys)], CTX)
+    logical = np.moveaxis(phys, -1, 1)          # (N,C,H,W)
+    want_logical = logical.sum(axis=3)          # (N,C,H)
+    npt.assert_allclose(np.asarray(y), np.moveaxis(want_logical, 1, -1))
+
+
+def test_batch_reduction_asum_raises_like_reference():
+    spec = LayerSpec("l", "batchreduction", ("x",), ("y",),
+                     {"reduction_param": {"operation": "ASUM", "axis": 1}})
+    with pytest.raises(NotImplementedError, match="NOT_IMPLEMENTED"):
+        get_impl("batchreduction").apply(
+            spec, {}, {}, [jnp.ones((1, 3))], CTX)
+
+
+def test_batch_reduction_pos_rank_check():
+    spec = LayerSpec("l", "batchreduction", ("x",), ("y",),
+                     {"reduction_param": {"operation": "SUM", "axis": 1},
+                      "pos": True})
+    with pytest.raises(ValueError, match="logical dims"):
+        get_impl("batchreduction").apply(spec, {}, {}, [jnp.ones((2, 3))], CTX)
+
+
+def test_roi_pooling_requires_pooled_dims():
+    spec = LayerSpec("l", "roipooling", ("x", "rois"), ("y",), {})
+    with pytest.raises(ValueError, match="pooled_h/pooled_w"):
+        get_impl("roipooling").apply(
+            spec, {}, {}, [jnp.ones((1, 4, 4, 2)), jnp.zeros((1, 5))], CTX)
+
+
+def test_spp_rejects_oversized_pyramid():
+    """bins > feature dim would silently change the concat length; the
+    reference's pad<kernel CHECK aborts -- so do we."""
+    spec = LayerSpec("l", "spp", ("x",), ("y",), {"pyramid_height": 4})
+    with pytest.raises(ValueError, match="exceed"):
+        get_impl("spp").apply(spec, {}, {}, [jnp.ones((1, 6, 6, 2))], CTX)
