@@ -206,21 +206,25 @@ def cmd_train(args):
     it = micro_batches()
     first = next(it)
     mesh = None
-    dp = args.dp if args.dp != 0 else len(jax.devices())
-    if dp > 1:
+    tp = getattr(args, "tp", 1)
+    dp = args.dp if args.dp != 0 else max(1, len(jax.devices()) // max(tp, 1))
+    if dp > 1 or tp > 1:
         # data parallelism over local+remote chips: the reference's
         # `mpirun -np N caffe train` becomes one mesh axis (GSPMD emits
-        # the gradient allreduce the MPI comm thread used to run)
+        # the gradient allreduce the MPI comm thread used to run);
+        # --tp adds a second `model` axis with channel-sharded weights
         from eco_tpu.parallel.mesh import make_mesh
 
         batch = next(iter(first.values())).shape[1]
         if batch % dp:
             raise SystemExit(f"--dp {dp} must divide the batch size {batch}")
-        if dp > len(jax.devices()):
+        if dp * tp > len(jax.devices()):
             raise SystemExit(
-                f"--dp {dp} exceeds the {len(jax.devices())} visible devices"
+                f"--dp {dp} x --tp {tp} exceeds the "
+                f"{len(jax.devices())} visible devices"
             )
-        mesh = make_mesh({"data": dp}, devices=jax.devices()[:dp])
+        axes = {"data": dp} if tp == 1 else {"data": dp, "model": tp}
+        mesh = make_mesh(axes, devices=jax.devices()[:dp * tp])
     trainer = Trainer(train_prog, cfg, test_program=test_prog, mesh=mesh)
     ts = trainer.init_state(
         {k: v[0] for k, v in first.items()}, seed=cfg.random_seed
@@ -240,6 +244,11 @@ def cmd_train(args):
         )
         ts = dataclasses.replace(ts, params=params, state=state)
         print(f"Imported {len(report['loaded'])} caffemodel layers")
+
+    if tp > 1:
+        from eco_tpu.parallel.tp import shard_tp_train_state
+
+        ts = shard_tp_train_state(mesh, ts)
 
     import itertools
 
@@ -271,19 +280,26 @@ def cmd_test(args):
 
     ts = init_train_state(params, state)
     mesh = None
-    dp = args.dp if args.dp != 0 else len(jax.devices())
-    if dp > 1:
+    tp = getattr(args, "tp", 1)
+    dp = args.dp if args.dp != 0 else max(1, len(jax.devices()) // max(tp, 1))
+    if dp > 1 or tp > 1:
         from eco_tpu.parallel.mesh import make_mesh
 
         if dcfg.batch_size % dp:
             raise SystemExit(
                 f"--dp {dp} must divide the batch size {dcfg.batch_size}"
             )
-        if dp > len(jax.devices()):
+        if dp * tp > len(jax.devices()):
             raise SystemExit(
-                f"--dp {dp} exceeds the {len(jax.devices())} visible devices"
+                f"--dp {dp} x --tp {tp} exceeds the "
+                f"{len(jax.devices())} visible devices"
             )
-        mesh = make_mesh({"data": dp}, devices=jax.devices()[:dp])
+        axes = {"data": dp} if tp == 1 else {"data": dp, "model": tp}
+        mesh = make_mesh(axes, devices=jax.devices()[:dp * tp])
+        if tp > 1:
+            from eco_tpu.parallel.tp import shard_tp_train_state
+
+            ts = shard_tp_train_state(mesh, ts)
     trainer = Trainer(prog, SolverConfig(), test_program=prog, mesh=mesh)
     batches = (pipe.next_batch() for _ in range(args.iterations))
     means = trainer.test(ts, batches)
@@ -657,6 +673,10 @@ def main(argv=None):
     sp.add_argument("--dp", type=int, default=1,
                     help="data-parallel over N chips (0 = all devices); "
                          "the `mpirun -np N` equivalent, via GSPMD")
+    sp.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel over N chips: weights/momentum "
+                         "channel-sharded over a `model` mesh axis "
+                         "(composes with --dp; mesh is dp x tp)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("test")
@@ -666,6 +686,9 @@ def main(argv=None):
     sp.add_argument("--dp", type=int, default=1,
                     help="data-parallel eval over N chips (0 = all); "
                          "global-batch metrics = SyncOutput semantics")
+    sp.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel eval: weights channel-sharded "
+                         "over a `model` mesh axis (mesh is dp x tp)")
     sp.set_defaults(fn=cmd_test)
 
     sp = sub.add_parser("time")

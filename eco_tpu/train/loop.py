@@ -97,14 +97,27 @@ class Trainer:
             remat = remat_policy_from_graph(train_program.graph)
         self.remat = remat
         if step_fn is None and mesh is not None:
-            # data-parallel over the mesh: pjit shards the batch axis,
-            # replicates params, and emits/overlaps the gradient allreduce
-            # (the reference's whole MPI engine, channel.cpp/net.cpp:670-702)
-            from eco_tpu.parallel.shard import make_sharded_train_step
+            from eco_tpu.parallel.mesh import MODEL_AXIS
 
-            step_fn = make_sharded_train_step(
-                train_program, cfg, mesh, remat=remat
-            )
+            if MODEL_AXIS in mesh.shape:
+                # DP x TP: weights/momentum channel-sharded over ``model``,
+                # batch over ``data`` (eco_tpu.parallel.tp); pass a
+                # shard_tp_train_state'd TrainState for committed placement
+                from eco_tpu.parallel.tp import make_tp_train_step
+
+                step_fn = make_tp_train_step(
+                    train_program, cfg, mesh, remat=remat
+                )
+            else:
+                # data-parallel over the mesh: pjit shards the batch axis,
+                # replicates params, and emits/overlaps the gradient
+                # allreduce (the reference's whole MPI engine,
+                # channel.cpp/net.cpp:670-702)
+                from eco_tpu.parallel.shard import make_sharded_train_step
+
+                step_fn = make_sharded_train_step(
+                    train_program, cfg, mesh, remat=remat
+                )
         self.step = step_fn or jax.jit(
             make_train_step(train_program, cfg, remat=remat)
         )
@@ -119,7 +132,11 @@ class Trainer:
 
                 from eco_tpu.parallel.mesh import DATA_AXIS
 
-                bsh = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+                bspec = (
+                    PartitionSpec(DATA_AXIS)
+                    if DATA_AXIS in mesh.shape else PartitionSpec()
+                )
+                bsh = NamedSharding(mesh, bspec)
 
                 def ev_sharded(params, state, batch, _ev=ev, _bsh=bsh):
                     batch = {

@@ -121,3 +121,17 @@ def test_cli_train_data_parallel(dataset, tmp_path):
         SOLVER_TMPL.format(net=str(net), prefix=str(tmp_path / "snap"))
     )
     main(["train", "--solver", str(solver), "--net", str(net), "--dp", "4"])
+
+
+def test_cli_train_tensor_parallel(dataset, tmp_path):
+    """--dp 2 --tp 2: DP x TP mesh from the CLI -- weights/momentum
+    channel-sharded over `model`, batch over `data` (parallel/tp.py)."""
+    net = tmp_path / "net.prototxt"
+    net.write_text(NET_TMPL.format(list=dataset).replace(
+        "batch_size: 3", "batch_size: 4"))
+    solver = tmp_path / "solver.prototxt"
+    solver.write_text(
+        SOLVER_TMPL.format(net=str(net), prefix=str(tmp_path / "snap"))
+    )
+    main(["train", "--solver", str(solver), "--net", str(net),
+          "--dp", "2", "--tp", "2"])

@@ -246,6 +246,182 @@ def test_syncbn_explicit_axis_name_matches_global():
     np.testing.assert_allclose(np.asarray(nv), np.asarray(nv_ref), rtol=1e-4, atol=1e-6)
 
 
+def test_tp_inference_matches_local():
+    """Channel-sharded (tensor-parallel) weights over a data x model mesh
+    must reproduce single-device numerics, and the big weights must actually
+    live sharded (1/tp per device)."""
+    from eco_tpu.parallel import make_tp_infer_fn, shard_tp_tree
+
+    g = _small_video_graph(with_loss=False)
+    prog = Program(g, train=False)
+    rng = np.random.default_rng(5)
+    data = jnp.asarray(rng.standard_normal((8, 4, 16, 16, 3)), jnp.float32)
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    local = prog.apply(params, state, {"data": data})[0]["probs"]
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    sp = shard_tp_tree(mesh, params)
+    ss = shard_tp_tree(mesh, state)
+    # conv1 w is (3, 3, 3, 8): last dim divisible by tp=4 -> sharded
+    w = sp["conv1"]["w"]
+    assert w.sharding.spec[-1] == "model"
+    assert w.addressable_shards[0].data.shape[-1] == w.shape[-1] // 4
+    # fc w is (Din, 5): 5 % 4 != 0 -> replicated
+    assert sp["fc"]["w"].sharding.spec == jax.sharding.PartitionSpec()
+    infer = make_tp_infer_fn(prog, mesh)
+    out = infer(sp, ss, jax.device_put(data))
+    np.testing.assert_allclose(np.asarray(local), np.asarray(out),
+                               rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_tp_train_step_matches_single_device():
+    """DP x TP training: sharded weight grads + sharded optimizer update
+    must equal the single-device step (params, loss, BN running stats)."""
+    from eco_tpu.parallel import (
+        make_tp_train_step,
+        shard_tp_train_state,
+    )
+
+    g = _small_video_graph(with_loss=True)
+    prog = Program(g, train=True)
+    rng = np.random.default_rng(6)
+    batch = {
+        "data": jnp.asarray(rng.standard_normal((2, 8, 4, 16, 16, 3)), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 5, (2, 8))),
+    }
+    params, state = prog.init(
+        jax.random.PRNGKey(0), jax.tree.map(lambda x: x[0], batch)
+    )
+    cfg = SolverConfig(base_lr=0.1, lr_policy="fixed", iter_size=2,
+                       clip_gradients=10.0, solver_type="nesterov")
+
+    ts1, m1 = jax.jit(make_train_step(prog, cfg))(
+        init_train_state(params, state), batch, jax.random.PRNGKey(7)
+    )
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    ts2 = shard_tp_train_state(mesh, init_train_state(params, state))
+    step = make_tp_train_step(prog, cfg, mesh)
+    sb = {k: jax.device_put(v, jax.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "data"))) for k, v in batch.items()}
+    ts2, m2 = step(ts2, sb, jax.random.PRNGKey(7))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    for lname in ("conv1", "fc"):
+        np.testing.assert_allclose(
+            np.asarray(ts1.params[lname]["w"]),
+            np.asarray(ts2.params[lname]["w"]),
+            rtol=1e-3, atol=1e-5,
+        )
+    np.testing.assert_allclose(
+        np.asarray(ts1.state["c3d_bn"]["mean"]),
+        np.asarray(ts2.state["c3d_bn"]["mean"]),
+        rtol=1e-3, atol=1e-5,
+    )
+    # momentum history kept its channel sharding through the update
+    assert ts2.history["conv1"]["w"].sharding.spec[-1] == "model"
+
+
+def test_trainer_tp_mesh_wiring():
+    """Trainer(mesh=dp x model) routes to the TP step and completes an
+    iteration on a sharded TrainState (the `eco train --tp N` path)."""
+    from eco_tpu.parallel import shard_tp_train_state
+    from eco_tpu.train.loop import Trainer
+
+    g = _small_video_graph(with_loss=True)
+    prog = Program(g, train=True)
+    rng = np.random.default_rng(7)
+    batch = {
+        "data": jnp.asarray(rng.standard_normal((1, 8, 4, 16, 16, 3)), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 5, (1, 8))),
+    }
+    mesh = make_mesh({"data": 2, "model": 4})
+    cfg = SolverConfig(base_lr=0.01, lr_policy="fixed", iter_size=1,
+                       max_iter=2, display=1, test_interval=0)
+    trainer = Trainer(prog, cfg, mesh=mesh, log_fn=lambda *_: None)
+    ts = trainer.init_state(jax.tree.map(lambda x: x[0], batch))
+    ts = shard_tp_train_state(mesh, ts)
+
+    def batches():
+        while True:
+            yield batch
+
+    ts = trainer.solve(ts, batches())
+    assert int(ts.it) == 2
+    assert ts.params["conv1"]["w"].sharding.spec[-1] == "model"
+
+
+def test_pp_infer_matches_local():
+    """Pipeline-parallel serving: FLOP-balanced stage split over a device
+    chain reproduces single-device numerics, with each stage's params
+    committed to its own device."""
+    from eco_tpu.parallel import make_pp_infer_fn, split_stages
+
+    g = _small_video_graph(with_loss=False)
+    prog = Program(g, train=False)
+    rng = np.random.default_rng(9)
+    data = jnp.asarray(rng.standard_normal((8, 4, 16, 16, 3)), jnp.float32)
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    ref = prog.apply(params, state, {"data": data})[0]["probs"]
+
+    stages = split_stages(prog, {"data": data}, 3, params=params)
+    assert len(stages) == 3
+    # stages partition the exec layers contiguously
+    names = [n for s in stages for n in s.layer_names]
+    assert names == [l.name for l in prog.exec_layers]
+    # stage boundaries compose: each stage's inputs come from upstream outs
+    for a, b in zip(stages, stages[1:]):
+        assert set(b.in_names) <= set(a.out_names)
+
+    devs = jax.devices()[:3]
+    infer = make_pp_infer_fn(prog, params, state, devs,
+                             sample_inputs={"data": data}, microbatches=4)
+    out = infer({"data": data})
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pp_split_respects_shared_param_groups():
+    """A cut may not separate cross-layer shared params (param {name}
+    ownership, net.cpp): the owner and aliaser stay in one stage so
+    Program.apply's owner resolution works inside the stage."""
+    from eco_tpu.parallel import make_pp_infer_fn, split_stages
+    from eco_tpu.spec.graph import GraphSpec, LayerSpec, ParamSpec
+
+    g = GraphSpec(
+        name="sharedpp",
+        inputs={"a": (4, 6)},
+        layers=[
+            LayerSpec("ip1", "innerproduct", ("a",), ("y1",),
+                      {"num_output": 6},
+                      params=(ParamSpec(name="sw"), ParamSpec())),
+            LayerSpec("r1", "relu", ("y1",), ("y1",)),
+            LayerSpec("ip2", "innerproduct", ("y1",), ("y2",),
+                      {"num_output": 6},
+                      params=(ParamSpec(name="sw"), ParamSpec())),
+            LayerSpec("ip3", "innerproduct", ("y2",), ("y3",),
+                      {"num_output": 3}),
+            LayerSpec("sm", "softmax", ("y3",), ("p",)),
+        ],
+    )
+    prog = Program(g, train=False)
+    rng = np.random.default_rng(3)
+    ins = {"a": jnp.asarray(rng.standard_normal((4, 6)), jnp.float32)}
+    params, state = prog.init(jax.random.PRNGKey(0), ins)
+    ref = prog.apply(params, state, ins)[0]["p"]
+
+    stages = split_stages(prog, ins, 2, params=params)
+    # ip1..ip2 (exec idx 0..2) must be one stage: no cut inside the span
+    first = stages[0].layer_names
+    assert {"ip1", "ip2"} <= set(first)
+
+    infer = make_pp_infer_fn(prog, params, state, jax.devices()[:2],
+                             sample_inputs=ins, output="p", microbatches=2)
+    np.testing.assert_allclose(np.asarray(ref),
+                               np.asarray(infer(ins)), rtol=1e-5, atol=1e-6)
+
+
 def test_trainer_sharded_eval_matches_single_device():
     """Trainer(mesh=...) shards eval: global-batch metric tops (the
     reference's SyncOutput/SyncLoss allreduce means, solver.cpp:372-392)
