@@ -319,6 +319,55 @@ def bench_preprocess_kernel(n=8, s=16, hw=(256, 340), crop=224, iters=128,
     }
 
 
+def bench_int8_infer(zoo_name="eco_lite_kinetics", batch=96, iters=10):
+    """int8 post-training-quantized serving throughput vs the bf16 path.
+
+    w8a8: per-channel int8 weights, calibrated per-tensor activation scales
+    (eco_tpu.convert.quantize) -- the MXU runs int8 x int8 -> int32 at ~2x
+    the bf16 rate on v5e, so this bounds the quantized-serving headroom.
+    Calibration uses the same random-normal data as the timing run
+    (accuracy parity is covered by tests/test_quantize.py; this measures
+    throughput only).
+    """
+    from eco_tpu.convert.quantize import quantize_for_serving
+    from eco_tpu.models import get_model
+    from eco_tpu.runtime import Program
+
+    graph = get_model(zoo_name, num_segments=16, batch=batch)
+    prog0 = Program(graph, train=False)
+    data = jax.block_until_ready(
+        jax.random.normal(
+            jax.random.PRNGKey(7), (batch, 16, 224, 224, 3), dtype=jnp.bfloat16
+        )
+    )
+    params, state = prog0.init(jax.random.PRNGKey(0), {"data": data})
+    _note("int8: init done")
+    qprog, qp, qs, report = quantize_for_serving(
+        prog0, params, state, [{"data": data}], compute_dtype=jnp.bfloat16
+    )
+    _note(f"int8: quantized {len(report['quantized'])} layers")
+
+    @jax.jit
+    def fwd(qp, qs, data):
+        outs, _ = qprog.apply(qp, qs, {"data": data})
+        return outs["probs"]
+
+    compiled = fwd.lower(qp, qs, data).compile()
+    _note("int8: compiled")
+    variants = [
+        jax.block_until_ready(data + jnp.bfloat16(i * 1e-3)) for i in range(2)
+    ]
+    dt = _pipelined_time(
+        lambda d: compiled(qp, qs, d), [(v,) for v in variants], iters
+    )
+    _note(f"int8: timed {batch / dt:.1f} v/s")
+    return {
+        "int8_videos_per_sec": round(batch / dt, 1),
+        "int8_quantized_layers": len(report["quantized"]),
+        "int8_batch": batch,
+    }
+
+
 def bench_serving(batch=8, num_segments=16, hw=(256, 340), iters=3):
     """End-to-end serving: HOST numpy frames -> device -> probs fetched.
 
@@ -477,6 +526,17 @@ def main():
                     extra["train_bf16_step_ms"] = round(rt["step_ms"], 1)
             except Exception as e:
                 extra[f"train_bf16_b{tb}_error"] = repr(e)
+        if not _over_budget("int8_infer"):
+            try:
+                _note("int8 infer bench")
+                r8 = bench_int8_infer()
+                extra.update(r8)
+                if best > 0:
+                    extra["int8_speedup_vs_bf16"] = round(
+                        r8["int8_videos_per_sec"] / best, 2
+                    )
+            except Exception as e:
+                extra["int8_infer_error"] = repr(e)
         if not _over_budget("online"):
             try:
                 _note("online bench")

@@ -127,6 +127,69 @@ class _Conv(LayerImpl):
         return [y], None
 
 
+class _QConv(LayerImpl):
+    """int8-quantized Convolution (serving-only TPU extension, no reference
+    counterpart): float in/out, int8 x int8 -> int32 on the MXU.  Emitted by
+    eco_tpu.convert.quantize.quantize_for_serving; carries its calibrated
+    per-tensor input scale in options['act_scale']."""
+
+    def param_specs(self, spec, in_shapes):
+        base = _Conv().param_specs(spec, in_shapes)
+        wshape = base["w"][0]
+        out = {
+            "w": (wshape, jnp.int8, {"type": "constant"}),
+            "w_scale": ((wshape[-1],), jnp.float32,
+                        {"type": "constant", "value": 1.0}),
+        }
+        if "b" in base:
+            out["b"] = base["b"]
+        return out
+
+    def apply(self, spec, params, state, inputs, ctx):
+        from eco_tpu.ops.quant import conv_nd_int8
+
+        y = conv_nd_int8(
+            inputs[0],
+            params["w"],
+            params["w_scale"],
+            params.get("b"),
+            act_scale=float(spec.opt("act_scale")),
+            stride=spec.opt("stride", 1),
+            pad=spec.opt("pad", 0),
+            dilation=spec.opt("dilation", 1),
+            groups=int(spec.opt("group", 1)),
+        )
+        return [y], None
+
+
+class _QInnerProduct(LayerImpl):
+    """int8-quantized InnerProduct (see _QConv)."""
+
+    def param_specs(self, spec, in_shapes):
+        base = _InnerProduct().param_specs(spec, in_shapes)
+        wshape = base["w"][0]
+        out = {
+            "w": (wshape, jnp.int8, {"type": "constant"}),
+            "w_scale": ((wshape[-1],), jnp.float32,
+                        {"type": "constant", "value": 1.0}),
+        }
+        if "b" in base:
+            out["b"] = base["b"]
+        return out
+
+    def apply(self, spec, params, state, inputs, ctx):
+        from eco_tpu.ops.quant import inner_product_int8
+
+        x = inputs[0]
+        if x.ndim > 2:
+            x = ops.to_logical(x).reshape(x.shape[0], -1)
+        y = inner_product_int8(
+            x, params["w"], params["w_scale"], params.get("b"),
+            act_scale=float(spec.opt("act_scale")),
+        )
+        return [y], None
+
+
 class _InnerProduct(LayerImpl):
     def param_specs(self, spec, in_shapes):
         din = 1
@@ -981,6 +1044,8 @@ IMPLS: dict[str, LayerImpl] = {
     "convolution": _Conv(),
     "deconvolution": _Conv(),
     "innerproduct": _InnerProduct(),
+    "qconvolution": _QConv(),
+    "qinnerproduct": _QInnerProduct(),
     "bn": _BN(),
     "relu": _ReLU(),
     "pooling": _Pooling(),

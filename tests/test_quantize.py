@@ -1,0 +1,136 @@
+"""int8 post-training quantization (serving-only TPU extension).
+
+No reference counterpart (Caffe serves f32); covers ops/quant.py,
+convert/quantize.py and the executor's _QConv/_QInnerProduct impls.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eco_tpu.convert.quantize import calibrate, quantize_for_serving, quantize_graph
+from eco_tpu.ops.quant import (
+    conv_nd_int8,
+    inner_product_int8,
+    quantize_act,
+    quantize_weight,
+)
+from eco_tpu.runtime.executor import Program
+from eco_tpu.spec.graph import GraphSpec, LayerSpec
+
+from tests.test_parallel import _small_video_graph
+
+
+def test_quantize_weight_per_channel():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((3, 3, 4, 8)) * np.linspace(0.1, 3, 8),
+                    jnp.float32)
+    w_q, scale = quantize_weight(w)
+    assert w_q.dtype == jnp.int8 and scale.shape == (8,)
+    # quantization error bounded by half a step per channel
+    err = np.abs(np.asarray(w) - np.asarray(w_q, np.float32) * np.asarray(scale))
+    assert (err <= np.asarray(scale) / 2 + 1e-7).all()
+    # zero channel -> scale 1, all-zero codes
+    wz = w.at[..., 0].set(0.0)
+    w_q0, s0 = quantize_weight(wz)
+    assert float(s0[0]) == 1.0 and not np.asarray(w_q0)[..., 0].any()
+
+
+def test_int8_conv_exact_on_integer_grid():
+    """With inputs already on the quantization grid the int8 conv is exact:
+    the rescaled int32 accumulation reproduces the f32 conv bit-for-bit."""
+    from eco_tpu.ops.conv import conv_nd
+
+    rng = np.random.default_rng(1)
+    sx = 0.5
+    x = jnp.asarray(rng.integers(-100, 100, (2, 9, 9, 4)) * sx, jnp.float32)
+    w_int = rng.integers(-100, 100, (3, 3, 4, 6))
+    scale = np.abs(w_int).max(axis=(0, 1, 2)) / 127.0
+    w = jnp.asarray(w_int * 1.0, jnp.float32)
+    w_q, w_s = quantize_weight(w)
+    b = jnp.asarray(rng.standard_normal(6), jnp.float32)
+    y = conv_nd_int8(x, w_q, w_s, b, act_scale=sx, stride=2, pad=1)
+    # reference float conv with the DEQUANTIZED weights (exact quantization
+    # here is impossible since scale isn't a divisor of every weight)
+    w_dq = jnp.asarray(np.asarray(w_q, np.float32) * scale, jnp.float32)
+    ref = conv_nd(x, w_dq, b, stride=2, pad=1)
+    # the int8 path accumulates in exact int32; the f32 reference carries
+    # ~1e-7 relative accumulation noise at these magnitudes (~1e4)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-2)
+
+
+def test_inner_product_int8():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((4, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((16, 5)), jnp.float32)
+    w_q, w_s = quantize_weight(w)
+    y = inner_product_int8(x, w_q, w_s, None, act_scale=float(jnp.abs(x).max()) / 127)
+    ref = x @ w
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=0.05, atol=0.02)
+
+
+def test_quantize_act_clips_and_rounds():
+    x = jnp.asarray([-300.0, -1.0, 0.26, 200.0], jnp.float32)
+    q = quantize_act(x, 1.0)
+    assert q.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(q), [-127, -1, 0, 127])
+
+
+def test_quantize_for_serving_parity():
+    """End-to-end: fold BN -> calibrate -> int8 rewrite keeps ECO-shaped
+    predictions (argmax identical, probs within PTQ tolerance)."""
+    g = _small_video_graph(with_loss=False)
+    prog = Program(g, train=False)
+    rng = np.random.default_rng(5)
+    data = jnp.asarray(rng.standard_normal((8, 4, 16, 16, 3)), jnp.float32)
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    ref = np.asarray(prog.apply(params, state, {"data": data})[0]["probs"])
+
+    qprog, qp, qs, report = quantize_for_serving(
+        prog, params, state, [{"data": data}]
+    )
+    assert set(report["quantized"]) == {"conv1", "c3d", "fc"}
+    # BN got folded away before quantization
+    assert not any(l.type == "bn" for l in qprog.graph.layers)
+    assert all(s > 0 for s in report["act_scales"].values())
+    out = np.asarray(qprog.apply(qp, qs, {"data": data})[0]["probs"])
+    assert (ref.argmax(-1) == out.argmax(-1)).all()
+    np.testing.assert_allclose(ref, out, atol=5e-3)
+    # quantized weights really are int8
+    assert qp["conv1"]["w"].dtype == jnp.int8
+    assert qp["fc"]["w_scale"].shape == (5,)
+
+
+def test_quantize_graph_skips_degenerate_and_transposed():
+    g = GraphSpec(
+        name="skips",
+        inputs={"a": (2, 8, 8, 3)},
+        layers=[
+            LayerSpec("dead", "convolution", ("a",), ("y",),
+                      {"num_output": 4, "kernel_size": 3, "pad": 1}),
+            LayerSpec("up", "deconvolution", ("y",), ("z",),
+                      {"num_output": 4, "kernel_size": 2, "stride": 2}),
+        ],
+    )
+    prog = Program(g, train=False)
+    data = {"a": jnp.zeros((2, 8, 8, 3), jnp.float32)}
+    params, _ = prog.init(jax.random.PRNGKey(0), data)
+    # zero calibration input -> act_max 0 -> 'dead' stays float;
+    # deconvolution is never rewritten
+    qgraph, qp, quantized = quantize_graph(
+        g, params, {"dead": 0.0, "up": 3.0}
+    )
+    assert quantized == []
+    assert [l.type for l in qgraph.layers] == ["convolution", "deconvolution"]
+
+
+def test_calibrate_takes_max_over_batches():
+    g = _small_video_graph(with_loss=False)
+    prog = Program(g, train=False)
+    small = {"data": jnp.full((8, 4, 16, 16, 3), 0.5, jnp.float32)}
+    big = {"data": jnp.full((8, 4, 16, 16, 3), 2.0, jnp.float32)}
+    params, state = prog.init(jax.random.PRNGKey(0), small)
+    m = calibrate(prog, params, state, [small, big])
+    assert m["conv1"] == pytest.approx(2.0)
