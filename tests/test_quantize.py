@@ -126,6 +126,58 @@ def test_quantize_graph_skips_degenerate_and_transposed():
     assert [l.type for l in qgraph.layers] == ["convolution", "deconvolution"]
 
 
+def test_quantized_program_shards_under_dp():
+    """The int8 graph is a plain GraphSpec: pjit data-parallel eval over a
+    mesh reproduces the unsharded quantized numerics."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from eco_tpu.parallel import make_mesh
+
+    g = _small_video_graph(with_loss=False)
+    prog = Program(g, train=False)
+    rng = np.random.default_rng(7)
+    data = jnp.asarray(rng.standard_normal((8, 4, 16, 16, 3)), jnp.float32)
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    qprog, qp, qs, _ = quantize_for_serving(prog, params, state, [{"data": data}])
+    ref = np.asarray(qprog.apply(qp, qs, {"data": data})[0]["probs"])
+
+    mesh = make_mesh({"data": 8})
+
+    @jax.jit
+    def fwd(p, s, d):
+        d = jax.lax.with_sharding_constraint(d, NamedSharding(mesh, P("data")))
+        return qprog.apply(p, s, {"data": d})[0]["probs"]
+
+    out = np.asarray(fwd(qp, qs, data))
+    np.testing.assert_allclose(ref, out, rtol=1e-5, atol=1e-6)
+
+
+def test_uint8_server_runs_quantized_program():
+    """End-to-end int8 serving: raw uint8 frames -> on-device crop/mean ->
+    quantized graph; predictions match the float server's argmax."""
+    from eco_tpu.apps import UInt8Server
+
+    g = _small_video_graph(with_loss=False)
+    prog = Program(g, train=False)
+    rng = np.random.default_rng(8)
+    crop = 16
+    frames = rng.integers(0, 255, (4, 4, 20, 24, 3), dtype=np.uint8)
+    sample = jnp.zeros((4, 4, crop, crop, 3), jnp.float32)
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": sample})
+
+    f32_server = UInt8Server(prog, params, state, crop=crop, interpret=True)
+    ref = np.asarray(f32_server(jnp.asarray(frames)))
+
+    calib = jnp.asarray(
+        rng.standard_normal((4, 4, crop, crop, 3)) * 120, jnp.float32
+    )
+    qprog, qp, qs, _ = quantize_for_serving(prog, params, state, [{"data": calib}])
+    q_server = UInt8Server(qprog, qp, qs, crop=crop, interpret=True)
+    out = np.asarray(q_server(jnp.asarray(frames)))
+    assert (ref.argmax(-1) == out.argmax(-1)).all()
+    np.testing.assert_allclose(ref, out, atol=2e-2)
+
+
 def test_calibrate_takes_max_over_batches():
     g = _small_video_graph(with_loss=False)
     prog = Program(g, train=False)
