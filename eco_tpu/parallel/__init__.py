@@ -9,6 +9,7 @@ from eco_tpu.parallel.mesh import (
 )
 from eco_tpu.parallel.shard import (
     make_segment_sharded_infer_fn,
+    make_segment_sharded_train_step,
     make_sharded_infer_fn,
     make_sharded_train_step,
     shard_batch,

@@ -157,6 +157,10 @@ def split_stages(program, sample_inputs: Mapping[str, Any], n_stages: int,
                 cands = [j for j in range(
                     (cuts[-1] if cuts else -1) + 1, len(layers) - 1) if legal(j)]
                 cands = [j for j in cands if j >= i] or cands
+            if not cands:
+                # a shared-param span covers everything remaining: stop
+                # cutting (fewer stages than asked is legal)
+                break
             cuts.append(min(cands, key=live_bytes))
     bounds = [0] + [c + 1 for c in cuts] + [len(layers)]
 
@@ -200,8 +204,8 @@ def make_pp_infer_fn(program, params, state, devices: Sequence,
     inter-stage activations hop devices via ``jax.device_put`` (ICI on a
     real pod).  Numerics are identical to ``program.apply``.
     """
-    n = len(devices)
-    stages = split_stages(program, sample_inputs, n, params=params)
+    stages = split_stages(program, sample_inputs, len(devices), params=params)
+    n = len(stages)  # may be < len(devices) if shared-param spans limit cuts
     out_name = output or program.output_names[-1]
 
     placed = []

@@ -57,6 +57,38 @@ def make_sharded_train_step(program, cfg: SolverConfig, mesh: Mesh,
     return sharded_step
 
 
+def make_segment_sharded_train_step(program, cfg: SolverConfig, mesh: Mesh,
+                                    *, remat=None):
+    """Sequence-parallel training: batch AND segment axes sharded.
+
+    For long-clip fine-tunes (many segments, few videos per chip) the
+    (iter_size, N, S, ...) data blob shards over ``data`` x ``segment``;
+    the 3D head's temporal convs run spatially partitioned with GSPMD halo
+    exchanges in BOTH the forward and backward pass, while label-shaped
+    blobs (rank < 4) shard over ``data`` only.  Params/momentum stay
+    replicated; numerics are identical to the single-device step.
+    """
+    from eco_tpu.parallel.mesh import SEGMENT_AXIS
+
+    step = make_train_step(program, cfg, remat=remat)
+    rep = replicated(mesh)
+    seq_sh = NamedSharding(mesh, P(None, DATA_AXIS, SEGMENT_AXIS))
+    vec_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def sharded_step(ts: TrainState, batch, rng):
+        batch = {
+            k: jax.lax.with_sharding_constraint(
+                v, seq_sh if v.ndim >= 4 else vec_sh
+            )
+            for k, v in batch.items()
+        }
+        ts = jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, rep), ts)
+        return step(ts, batch, rng)
+
+    return sharded_step
+
+
 def make_segment_sharded_infer_fn(program, mesh: Mesh, *, output: str = "probs"):
     """Inference with BOTH the video and segment axes sharded.
 

@@ -352,6 +352,52 @@ def test_trainer_tp_mesh_wiring():
     assert ts.params["conv1"]["w"].sharding.spec[-1] == "model"
 
 
+@pytest.mark.slow
+def test_segment_sharded_train_step_matches_single_device():
+    """Sequence-parallel training (data x segment mesh): the 3D head's
+    temporal convs run halo-exchanged in fwd AND bwd; params, loss and BN
+    stats must equal the single-device step."""
+    from eco_tpu.parallel import make_segment_sharded_train_step
+
+    g = _small_video_graph(with_loss=True)
+    prog = Program(g, train=True)
+    rng = np.random.default_rng(12)
+    batch = {
+        "data": jnp.asarray(rng.standard_normal((2, 8, 4, 16, 16, 3)), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 5, (2, 8))),
+    }
+    params, state = prog.init(
+        jax.random.PRNGKey(0), jax.tree.map(lambda x: x[0], batch)
+    )
+    cfg = SolverConfig(base_lr=0.1, lr_policy="fixed", iter_size=2,
+                       clip_gradients=10.0, solver_type="nesterov")
+
+    ts1, m1 = jax.jit(make_train_step(prog, cfg))(
+        init_train_state(params, state), batch, jax.random.PRNGKey(7)
+    )
+
+    mesh = make_mesh({"data": 4, "segment": 2})
+    step = make_segment_sharded_train_step(prog, cfg, mesh)
+    ts2, m2 = step(
+        init_train_state(
+            jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, state)
+        ),
+        batch, jax.random.PRNGKey(7),
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    for lname in ("conv1", "c3d", "fc"):
+        np.testing.assert_allclose(
+            np.asarray(ts1.params[lname]["w"]),
+            np.asarray(ts2.params[lname]["w"]),
+            rtol=1e-3, atol=1e-5,
+        )
+    np.testing.assert_allclose(
+        np.asarray(ts1.state["c3d_bn"]["mean"]),
+        np.asarray(ts2.state["c3d_bn"]["mean"]),
+        rtol=1e-3, atol=1e-5,
+    )
+
+
 def test_pp_infer_matches_local():
     """Pipeline-parallel serving: FLOP-balanced stage split over a device
     chain reproduces single-device numerics, with each stage's params

@@ -178,6 +178,31 @@ def test_uint8_server_runs_quantized_program():
     np.testing.assert_allclose(ref, out, atol=2e-2)
 
 
+def test_quantized_program_tensor_parallel():
+    """int8 weights channel-shard over a `model` axis like float ones:
+    w (.., Cout) and w_scale (Cout,) pick up consistent shardings and the
+    TP inference matches local quantized numerics."""
+    from eco_tpu.parallel import make_mesh, make_tp_infer_fn, shard_tp_tree
+
+    g = _small_video_graph(with_loss=False)
+    prog = Program(g, train=False)
+    rng = np.random.default_rng(11)
+    data = jnp.asarray(rng.standard_normal((8, 4, 16, 16, 3)), jnp.float32)
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    qprog, qp, qs, _ = quantize_for_serving(prog, params, state, [{"data": data}])
+    ref = np.asarray(qprog.apply(qp, qs, {"data": data})[0]["probs"])
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    sp_ = shard_tp_tree(mesh, qp)
+    ss = shard_tp_tree(mesh, qs)
+    assert sp_["conv1"]["w"].dtype == jnp.int8
+    assert sp_["conv1"]["w"].sharding.spec[-1] == "model"
+    assert sp_["conv1"]["w_scale"].sharding.spec == (("model",))
+    infer = make_tp_infer_fn(qprog, mesh)
+    out = np.asarray(infer(sp_, ss, jax.device_put(data)))
+    np.testing.assert_allclose(ref, out, rtol=1e-5, atol=1e-6)
+
+
 def test_calibrate_takes_max_over_batches():
     g = _small_video_graph(with_loss=False)
     prog = Program(g, train=False)
