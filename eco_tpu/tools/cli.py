@@ -439,6 +439,32 @@ def cmd_parity(args):
         "max_abs_diff": fdiff, "tol": args.tol, "pass": fdiff <= args.tol,
     }
 
+    qmodel = None
+    if args.int8:
+        # int8 PTQ gate: quantize on the fixed input (plus dataset batches
+        # below when --list is given) and require argmax agreement
+        from eco_tpu.convert.quantize import quantize_for_serving
+
+        qprog, qpms, qst, qreport = quantize_for_serving(
+            prog, params, state, [fixed]
+        )
+        qouts, _ = qprog.apply(qpms, qst, fixed, capture=[blob])
+        ql = np.asarray(qouts[blob], np.float32)
+
+        def _cls(a):  # per-row argmax; scalars/vectors become one row
+            a = a.reshape(a.shape[0], -1) if a.ndim >= 2 else a.reshape(1, -1)
+            return a.argmax(-1)
+
+        agree = float((_cls(logits) == _cls(ql)).mean())
+        gates["int8_quantization"] = {
+            "layers": len(qreport["quantized"]),
+            "max_abs_diff": float(np.max(np.abs(ql - logits))),
+            "argmax_agreement": agree,
+            "min_agreement": args.int8_agree,
+            "pass": agree >= args.int8_agree,
+        }
+        qmodel = (qprog, qpms, qst)
+
     if args.list:
         from eco_tpu.train.loop import SolverConfig, Trainer
         from eco_tpu.train.solver import init_train_state
@@ -467,6 +493,31 @@ def cmd_parity(args):
         else:
             g["pass"] = True
         gates["dataset_eval"] = g
+
+        if qmodel is not None:
+            # quantized dataset eval: top-1 within --int8-top1-drop of f32
+            qprog, qpms, qst = qmodel
+            pipe = _make_pipeline(args, dcfg, train=False, seed=0)
+            qtrainer = Trainer(qprog, SolverConfig(), test_program=qprog)
+            qmeans = qtrainer.test(
+                init_train_state(qpms, qst),
+                (pipe.next_batch() for _ in range(args.iterations)),
+            )
+            pipe.close()
+            def _top1(ms):
+                return next(
+                    (float(v) for k, v in ms.items()
+                     if "top1" in k or k == "accuracy"), None,
+                )
+            t_f, t_q = _top1(means), _top1(qmeans)
+            gq = {"metrics": {k: float(v) for k, v in qmeans.items()}}
+            if t_f is not None and t_q is not None:
+                gq["top1_drop"] = t_f - t_q
+                gq["max_drop"] = args.int8_top1_drop
+                gq["pass"] = (t_f - t_q) <= args.int8_top1_drop
+            else:
+                gq["pass"] = True
+            gates["int8_dataset_eval"] = gq
 
     verdict = {
         "net": args.net,
@@ -793,6 +844,13 @@ def main(argv=None):
                     choices=["python", "native", "raw", "native-raw"])
     sp.add_argument("--expect-top1", type=float, default=None)
     sp.add_argument("--top1-tol", type=float, default=0.005)
+    sp.add_argument("--int8", action="store_true",
+                    help="also gate int8 PTQ: fixed-input argmax agreement "
+                         "(+ quantized dataset eval when --list is given)")
+    sp.add_argument("--int8-agree", type=float, default=0.99,
+                    help="min fixed-input argmax agreement for --int8")
+    sp.add_argument("--int8-top1-drop", type=float, default=0.02,
+                    help="max top-1 drop vs f32 for the int8 dataset gate")
     sp.add_argument("-o", "--output", default=None)
     sp.set_defaults(fn=cmd_parity)
 

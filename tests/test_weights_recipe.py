@@ -203,6 +203,22 @@ def test_parity_cli_one_command(color_dataset, tmp_path, capsys):
     assert verdict2["gates"]["fixed_input_logits"]["max_abs_diff"] == 0.0
 
 
+def test_parity_cli_int8_gate(color_dataset, tmp_path):
+    """`eco parity --int8`: PTQ gates on the same one-command pipeline --
+    fixed-input argmax agreement + quantized dataset eval top-1 drop."""
+    verdict = main([
+        "parity", "--caffemodel", FIXTURE_MODEL, "--net", FIXTURE_NET,
+        "--list", color_dataset, "--iterations", "4", "--int8",
+    ])
+    assert verdict["pass"] is True
+    g = verdict["gates"]
+    assert g["int8_quantization"]["pass"]
+    assert g["int8_quantization"]["layers"] >= 1
+    assert g["int8_quantization"]["argmax_agreement"] == 1.0
+    assert g["int8_dataset_eval"]["pass"]
+    assert g["int8_dataset_eval"]["top1_drop"] <= 0.02
+
+
 def test_parity_cli_fails_on_wrong_weights(color_dataset, tmp_path):
     """A caffemodel that does not cover the net must FAIL the coverage gate
     (non-zero exit), not silently pass."""
