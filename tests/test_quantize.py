@@ -203,6 +203,27 @@ def test_quantized_program_tensor_parallel():
     np.testing.assert_allclose(ref, out, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
+def test_quantize_residual_c3d_resnet():
+    """Residual nets: BNs whose conv tops feed the eltwise adds can NOT be
+    folded (sole-consumer guard) and become Scale layers; quantization must
+    still rewrite every conv/fc and keep predictions."""
+    from eco_tpu.models.zoo import get_model
+
+    g = get_model("c3d_resnet18_ucf101", clip_len=8, crop_size=64, batch=4)
+    prog = Program(g, train=False)
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.standard_normal((4, 8, 64, 64, 3)) * 40, jnp.float32)
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    ref = np.asarray(prog.apply(params, state, {"data": data})[0]["probs"])
+    qprog, qp, qs, rep = quantize_for_serving(prog, params, state, [{"data": data}])
+    assert len(rep["quantized"]) == 21
+    assert sum(l.type == "scale" for l in qprog.graph.layers) == 9
+    out = np.asarray(qprog.apply(qp, qs, {"data": data})[0]["probs"])
+    assert (ref.argmax(-1) == out.argmax(-1)).all()
+    np.testing.assert_allclose(ref, out, atol=5e-2)
+
+
 def test_calibrate_takes_max_over_batches():
     g = _small_video_graph(with_loss=False)
     prog = Program(g, train=False)
