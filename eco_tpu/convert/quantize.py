@@ -18,11 +18,10 @@ Deliberately conservative rewrites:
 
 from __future__ import annotations
 
-from typing import Any, Mapping, Optional, Sequence
+from typing import Any, Mapping, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from eco_tpu.ops.quant import quantize_weight
 from eco_tpu.spec.graph import GraphSpec
