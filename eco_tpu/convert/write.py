@@ -110,6 +110,18 @@ def export_caffe_weights(graph, params: Mapping, state: Mapping, path: str,
     params (our fused segment ops, dropout, ...) are skipped -- they carry no
     blobs in Caffe either.
     """
+    qnames = [
+        l.name for l in graph.layers
+        if l.type.lower() in ("qconvolution", "qinnerproduct")
+    ]
+    if qnames:
+        # silently skipping them would write a caffemodel with no conv/fc
+        # weights at all
+        raise ValueError(
+            f"graph contains int8-quantized layers ({', '.join(qnames[:3])}"
+            f"{', ...' if len(qnames) > 3 else ''}); Caffe has no int8 wire "
+            "format -- export the float model and quantize after import"
+        )
     out = _ld(1, (net_name or graph.name or "net").encode())
     exported = []
     # Cross-layer param sharing (ParamSpec.name): aliased layers own no

@@ -224,6 +224,22 @@ def test_quantize_residual_c3d_resnet():
     np.testing.assert_allclose(ref, out, atol=5e-2)
 
 
+def test_export_rejects_quantized_graph(tmp_path):
+    """Caffe has no int8 wire format: exporting a quantized graph must fail
+    loudly instead of silently writing a caffemodel with no conv weights."""
+    from eco_tpu.convert import export_caffe_weights
+
+    g = _small_video_graph(with_loss=False)
+    prog = Program(g, train=False)
+    data = jnp.zeros((8, 4, 16, 16, 3), jnp.float32)
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    qgraph, qp, _ = quantize_graph(
+        g, params, {"conv1": 1.0, "c3d": 1.0, "fc": 1.0}
+    )
+    with pytest.raises(ValueError, match="int8"):
+        export_caffe_weights(qgraph, qp, state, str(tmp_path / "x.caffemodel"))
+
+
 def test_calibrate_takes_max_over_batches():
     g = _small_video_graph(with_loss=False)
     prog = Program(g, train=False)
