@@ -148,6 +148,13 @@ class _QConv(LayerImpl):
     def apply(self, spec, params, state, inputs, ctx):
         from eco_tpu.ops.quant import conv_nd_int8
 
+        if ctx.train:
+            # round() has zero gradient a.e.: training would silently
+            # learn nothing through this layer
+            raise ValueError(
+                f"int8 layer {spec.name!r} is serving-only; train the "
+                "float model and re-quantize (convert.quantize)"
+            )
         y = conv_nd_int8(
             inputs[0],
             params["w"],
@@ -180,6 +187,11 @@ class _QInnerProduct(LayerImpl):
     def apply(self, spec, params, state, inputs, ctx):
         from eco_tpu.ops.quant import inner_product_int8
 
+        if ctx.train:
+            raise ValueError(
+                f"int8 layer {spec.name!r} is serving-only; train the "
+                "float model and re-quantize (convert.quantize)"
+            )
         x = inputs[0]
         if x.ndim > 2:
             x = ops.to_logical(x).reshape(x.shape[0], -1)

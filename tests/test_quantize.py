@@ -224,6 +224,19 @@ def test_quantize_residual_c3d_resnet():
     np.testing.assert_allclose(ref, out, atol=5e-2)
 
 
+def test_quantized_layers_refuse_train_mode():
+    """round() has zero gradient a.e. -- a TRAIN-phase quantized graph
+    would silently learn nothing, so the q-impls refuse ctx.train."""
+    g = _small_video_graph(with_loss=False)
+    prog = Program(g, train=False)
+    data = jnp.zeros((8, 4, 16, 16, 3), jnp.float32)
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    qprog, qp, qs, _ = quantize_for_serving(prog, params, state, [{"data": data + 1.0}])
+    tprog = Program(qprog.graph, train=True)
+    with pytest.raises(ValueError, match="serving-only"):
+        tprog.apply(qp, qs, {"data": data}, rng=jax.random.PRNGKey(0))
+
+
 def test_export_rejects_quantized_graph(tmp_path):
     """Caffe has no int8 wire format: exporting a quantized graph must fail
     loudly instead of silently writing a caffemodel with no conv weights."""
