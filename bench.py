@@ -329,6 +329,7 @@ def bench_int8_infer(zoo_name="eco_lite_kinetics", batch=96, iters=10):
     (accuracy parity is covered by tests/test_quantize.py; this measures
     throughput only).
     """
+    from eco_tpu.convert import optimize_for_inference
     from eco_tpu.convert.quantize import quantize_for_serving
     from eco_tpu.models import get_model
     from eco_tpu.runtime import Program
@@ -342,8 +343,13 @@ def bench_int8_infer(zoo_name="eco_lite_kinetics", batch=96, iters=10):
     )
     params, state = prog0.init(jax.random.PRNGKey(0), {"data": data})
     _note("int8: init done")
+    # same graph optimizations as the bf16 path (sibling-1x1 merge + BN
+    # fold) so the comparison isolates the int8 MXU effect
+    graph, params, state = optimize_for_inference(graph, params, state)
+    prog1 = Program(graph, train=False, compute_dtype=jnp.bfloat16)
     qprog, qp, qs, report = quantize_for_serving(
-        prog0, params, state, [{"data": data}], compute_dtype=jnp.bfloat16
+        prog1, params, state, [{"data": data}], fold=False,
+        compute_dtype=jnp.bfloat16,
     )
     _note(f"int8: quantized {len(report['quantized'])} layers")
 
