@@ -592,12 +592,14 @@ def cmd_quantize(args):
         # Scales will be loose; pass --list for production calibration.
         print("WARNING: no --list given; calibrating on random data")
         rng = jax.random.PRNGKey(0)
-        for name, shape in graph.inputs.items():
-            batches.append({
-                name: 60.0 * jax.random.normal(rng, shape, jnp.float32)
-            })
-        if not batches:
+        if not graph.inputs:
             raise SystemExit("graph declares no inputs; pass --list")
+        batches.append({
+            name: 60.0 * jax.random.normal(
+                jax.random.fold_in(rng, i), shape, jnp.float32
+            )
+            for i, (name, shape) in enumerate(graph.inputs.items())
+        })
 
     qprog, qp, qs, report = quantize_for_serving(prog, params, state, batches)
     save_model(args.output, qp, qs)

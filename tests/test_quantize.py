@@ -253,6 +253,43 @@ def test_export_rejects_quantized_graph(tmp_path):
         export_caffe_weights(qgraph, qp, state, str(tmp_path / "x.caffemodel"))
 
 
+def test_cli_quantize_deploy_random_calibration(tmp_path, capsys):
+    """eco quantize on a deploy net without --list: ONE random calibration
+    batch containing ALL declared inputs (not one dict per input)."""
+    import json
+
+    from eco_tpu.spec.prototxt import graph_from_prototxt
+    from eco_tpu.tools.cli import main
+    from eco_tpu.train import save_model
+
+    NET = """
+name: "tinydeploy"
+input: "data"
+input_dim: 2 input_dim: 3 input_dim: 16 input_dim: 16
+layer { name: "conv1" type: "Convolution" bottom: "data" top: "conv1"
+  convolution_param { num_output: 8 kernel_size: 3 pad: 1 } }
+layer { name: "relu1" type: "ReLU" bottom: "conv1" top: "conv1" }
+layer { name: "fc" type: "InnerProduct" bottom: "conv1" top: "fc"
+  inner_product_param { num_output: 4 } }
+layer { name: "prob" type: "Softmax" bottom: "fc" top: "prob" }
+"""
+    net = tmp_path / "net.prototxt"
+    net.write_text(NET)
+    g = graph_from_prototxt(NET)
+    prog = Program(g, train=False)
+    sample = {k: jnp.zeros(s, jnp.float32) for k, s in g.inputs.items()}
+    params, state = prog.init(jax.random.PRNGKey(0), sample)
+    save_model(str(tmp_path / "m"), params, state)
+    out = str(tmp_path / "int8")
+    main(["quantize", "--net", str(net), "--weights",
+          str(tmp_path / "m.npz"), "-o", out])
+    assert "random data" in capsys.readouterr().out
+    gq = json.load(open(out + ".graph.json"))
+    assert sorted({l["type"] for l in gq["layers"]}) == [
+        "qconvolution", "qinnerproduct", "relu", "softmax"
+    ]
+
+
 def test_calibrate_takes_max_over_batches():
     g = _small_video_graph(with_loss=False)
     prog = Program(g, train=False)
