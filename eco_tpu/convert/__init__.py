@@ -4,6 +4,11 @@ from eco_tpu.convert.load import (
     fold_bn,
     import_caffe_weights,
 )
+from eco_tpu.convert.export_hlo import (
+    export_serving,
+    load_serving_artifact,
+    save_serving_artifact,
+)
 from eco_tpu.convert.quantize import quantize_for_serving
 from eco_tpu.convert.write import export_caffe_weights
 from eco_tpu.spec.transforms import merge_sibling_1x1_convs

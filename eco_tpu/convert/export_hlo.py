@@ -1,0 +1,158 @@
+"""AOT serving artifacts via ``jax.export`` (StableHLO).
+
+The reference's deployment story is a deploy prototxt + ``.caffemodel``
+pair interpreted by the Caffe runtime at the destination
+(``tools/caffe.cpp`` builds the Net, ``Net::Forward`` runs it).  The
+TPU-native analogue is ahead-of-time lowering: the full inference
+program -- optionally including the on-device uint8 preprocessing -- is
+traced once, lowered to StableHLO with the trained weights baked in as
+constants, and serialized into ONE self-contained artifact.  Any JAX
+process can ``jax.export.deserialize`` and call it with **no eco_tpu, no
+model code, no prototxt** at the destination; XLA re-optimizes the
+embedded StableHLO for whatever chip generation it lands on (the
+artifact is lowered for every platform in ``platforms``, tpu+cpu by
+default).
+
+Two artifact shapes:
+
+* clips mode (default): ``(B, S, crop, crop, 3)`` model-ready clips in,
+  class probabilities out -- the deploy-prototxt equivalent.
+* ``uint8=True``: raw resized frames ``(B, S, H, W, 3) uint8`` + per-video
+  ``(h_off, w_off, mirror)`` in -- the full UInt8Server serving path
+  (apps/serving.py) in one artifact, so the destination host ships 4x
+  less bytes and does zero per-frame math.  The preprocess is lowered as
+  plain XLA ops (dynamic_slice + subtract), NOT the Pallas kernel: an
+  exported artifact must avoid platform-pinned custom calls to stay
+  loadable on future TPU generations and on CPU (jax.export's custom-call
+  compatibility rules), and the op is ~0.1% of a step either way
+  (docs/PERF_NOTES.md preprocess study).
+
+``dynamic_batch=True`` exports with a symbolic batch dimension, so one
+artifact serves any batch size (shape-polymorphic StableHLO).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+
+def _crop_normalize_xla(frames_u8, h_off, w_off, mirror, *, crop, mean,
+                        out_dtype):
+    """Portable (pure-XLA) twin of ops.pallas.preprocess.preprocess_on_device:
+    uint8 (N, S, H, W, 3) + per-video crop offsets/mirror -> model clips."""
+    n, s, h, w, c = frames_u8.shape
+
+    def one_video(frames, ho, wo):  # (S, H, W, 3)
+        win = jax.lax.dynamic_slice(
+            frames, (0, ho, wo, 0), (frames.shape[0], crop, crop, c)
+        )
+        return win.astype(jnp.float32) - jnp.asarray(mean, jnp.float32)
+
+    clips = jax.vmap(one_video)(frames_u8, h_off, w_off)
+    flipped = clips[:, :, :, ::-1, :]
+    return jnp.where(
+        mirror[:, None, None, None, None], flipped, clips
+    ).astype(out_dtype)
+
+
+def export_serving(
+    program,
+    params,
+    state,
+    *,
+    batch: int = 8,
+    segments: int = 16,
+    crop: int = 224,
+    output: Optional[str] = None,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+    dynamic_batch: bool = False,
+    uint8: bool = False,
+    frame_hw: tuple = (256, 340),
+    mean=(104.0, 117.0, 123.0),
+):
+    """Lower ``program`` (a deploy-phase Program) to a serving artifact.
+
+    Returns a ``jax.export.Exported``; persist with
+    :func:`save_serving_artifact` and run anywhere with
+    :func:`load_serving_artifact` (or raw ``jax.export.deserialize``).
+
+    Weights/state are closed over and embedded as StableHLO constants --
+    the artifact is the ``.caffemodel`` + deploy prototxt in one file.
+    """
+    out_name = output or (
+        "probs" if "probs" in program.output_names else program.output_names[-1]
+    )
+    dtype = program.compute_dtype or jnp.float32
+    # device arrays serialize as their committed sharding; export wants
+    # plain (replicated/host) constants
+    params = jax.tree.map(np.asarray, params)
+    state = jax.tree.map(np.asarray, state)
+
+    if dynamic_batch:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = batch
+
+    if uint8:
+        fh, fw = frame_hw
+        if fh < crop or fw < crop:
+            raise ValueError(
+                f"frame_hw {frame_hw} smaller than crop {crop}: the baked "
+                "preprocess crops a fixed window from each frame"
+            )
+
+        def fn(frames_u8, h_off, w_off, mirror):
+            clips = _crop_normalize_xla(
+                frames_u8, h_off, w_off, mirror,
+                crop=crop, mean=mean, out_dtype=dtype,
+            )
+            outs, _ = program.apply(params, state, {"data": clips})
+            return outs[out_name]
+
+        arg_specs = (
+            jax.ShapeDtypeStruct((b, segments, fh, fw, 3), jnp.uint8),
+            jax.ShapeDtypeStruct((b,), jnp.int32),
+            jax.ShapeDtypeStruct((b,), jnp.int32),
+            jax.ShapeDtypeStruct((b,), jnp.bool_),
+        )
+    else:
+
+        def fn(clips):
+            outs, _ = program.apply(params, state, {"data": clips})
+            return outs[out_name]
+
+        arg_specs = (
+            jax.ShapeDtypeStruct((b, segments, crop, crop, 3), dtype),
+        )
+
+    return jexport.export(jax.jit(fn), platforms=list(platforms))(*arg_specs)
+
+
+def save_serving_artifact(exported, path: str) -> int:
+    """Serialize an Exported to ``path``; returns the byte size."""
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(blob)
+
+
+def load_serving_artifact(path: str):
+    """Deserialize a serving artifact into a callable.
+
+    The returned object is a plain function (wrapping
+    ``Exported.call``) -- jit-compatible, differentiable-opaque, and
+    runnable on any platform the artifact was lowered for.
+    """
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+
+    def call(*args):
+        return exported.call(*args)
+
+    call.exported = exported
+    return call

@@ -714,6 +714,44 @@ def cmd_export(args):
     print(f"Exported {len(exported)} layers -> {args.output}")
 
 
+def cmd_aot(args):
+    """AOT-lower an inference program to a StableHLO serving artifact
+    (jax.export).  TPU-native deploy analogue of the reference's
+    deploy.prototxt + .caffemodel pair: weights baked in, loadable by any
+    JAX process with no eco_tpu/model code (convert/export_hlo.py)."""
+    import jax
+
+    from eco_tpu.convert import (
+        export_serving, optimize_for_inference, save_serving_artifact,
+    )
+    from eco_tpu.runtime import Program
+    from eco_tpu.train import load_model
+
+    graph = _build_graph(args, with_loss=False)
+    params, state = load_model(args.weights)
+    if args.optimize:
+        graph, params, state = optimize_for_inference(graph, params, state)
+    prog = Program(
+        graph, train=False,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+    )
+    # spatial size comes from the graph's declared input, not a flag
+    shape = graph.inputs.get("data")
+    crop = shape[2] if shape is not None and len(shape) == 5 else 224
+    segments = shape[1] if shape is not None and len(shape) == 5 else args.segments
+    exported = export_serving(
+        prog, params, state,
+        batch=args.batch, segments=segments, crop=crop,
+        platforms=[p.strip() for p in args.platforms.split(",")],
+        dynamic_batch=args.dynamic_batch,
+        uint8=args.uint8, frame_hw=(args.frame_h, args.frame_w),
+    )
+    nbytes = save_serving_artifact(exported, args.output)
+    shapes = ", ".join(str(s.shape) for s in exported.in_avals)
+    print(f"wrote {args.output}: {nbytes/1e6:.1f} MB, "
+          f"platforms={exported.platforms}, in=({shapes})")
+
+
 def cmd_upgrade(args):
     """V1-text -> V2-text prototxt upgrade (upgrade_net_proto_text.cpp).
 
@@ -876,6 +914,29 @@ def main(argv=None):
     sp.add_argument("--weights", required=True)
     sp.add_argument("-o", "--output", required=True)
     sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser(
+        "aot",  # StableHLO serving artifact (deploy prototxt+caffemodel analogue)
+        help="AOT-export an inference graph + weights to one StableHLO "
+             "serving artifact (jax.export); runs anywhere without eco_tpu",
+    )
+    common(sp)
+    sp.add_argument("--weights", required=True)
+    sp.add_argument("--bf16", action="store_true",
+                    help="lower the model in bfloat16 (TPU serving default)")
+    sp.add_argument("--no-optimize", dest="optimize", action="store_false",
+                    help="skip sibling-1x1 merge + BN fold before lowering")
+    sp.add_argument("--dynamic-batch", action="store_true",
+                    help="symbolic batch dim: one artifact, any batch size")
+    sp.add_argument("--uint8", action="store_true",
+                    help="bake the uint8 crop/mean preprocess into the "
+                         "artifact (raw resized frames + offsets in)")
+    sp.add_argument("--frame-h", type=int, default=256)
+    sp.add_argument("--frame-w", type=int, default=340)
+    sp.add_argument("--platforms", default="tpu,cpu",
+                    help="comma list of lowering targets")
+    sp.add_argument("-o", "--output", required=True)
+    sp.set_defaults(fn=cmd_aot)
 
     sp = sub.add_parser("draw")
     common(sp)

@@ -1,0 +1,160 @@
+"""AOT StableHLO serving artifacts (convert/export_hlo.py).
+
+TPU-native deploy analogue of the reference's deploy.prototxt +
+.caffemodel pair (tools/caffe.cpp builds the Net at the destination):
+here the whole inference program is lowered once with jax.export, weights
+embedded, and the artifact round-trips through bytes with no model code.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eco_tpu.convert import (
+    export_serving,
+    load_serving_artifact,
+    save_serving_artifact,
+)
+from eco_tpu.runtime.executor import Program
+
+from tests.test_parallel import _small_video_graph
+
+
+@pytest.fixture(scope="module")
+def prog_and_weights():
+    g = _small_video_graph(with_loss=False)
+    prog = Program(g, train=False)
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.standard_normal((8, 4, 16, 16, 3)), jnp.float32)
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    return prog, params, state, data
+
+
+def test_roundtrip_matches_program(tmp_path, prog_and_weights):
+    prog, params, state, data = prog_and_weights
+    exported = export_serving(
+        prog, params, state, batch=8, segments=4, crop=16,
+        platforms=("cpu",),
+    )
+    path = str(tmp_path / "mini.stablehlo")
+    nbytes = save_serving_artifact(exported, path)
+    assert nbytes > 0
+
+    serve = load_serving_artifact(path)
+    got = serve(data)
+    want, _ = prog.apply(params, state, {"data": data})
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want["probs"]), atol=1e-6
+    )
+    # weights are baked in: the artifact takes ONLY the clips tensor
+    assert len(serve.exported.in_avals) == 1
+    assert serve.exported.in_avals[0].shape == (8, 4, 16, 16, 3)
+
+
+def test_dynamic_batch_polymorphism(prog_and_weights):
+    """One artifact serves any batch size (symbolic leading dim)."""
+    prog, params, state, _ = prog_and_weights
+    exported = export_serving(
+        prog, params, state, segments=4, crop=16,
+        platforms=("cpu",), dynamic_batch=True,
+    )
+    back = jax.export.deserialize(exported.serialize())
+    rng = np.random.default_rng(1)
+    for b in (3, 5):
+        data = jnp.asarray(rng.standard_normal((b, 4, 16, 16, 3)), jnp.float32)
+        got = back.call(data)
+        want, _ = prog.apply(params, state, {"data": data})
+        assert got.shape == (b, 5)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want["probs"]), atol=1e-6
+        )
+
+
+def test_uint8_artifact_bakes_preprocess(tmp_path, prog_and_weights):
+    """uint8 mode: raw frames + (h_off, w_off, mirror) in, probs out; the
+    XLA crop/mean/mirror inside the artifact matches doing it by hand."""
+    prog, params, state, _ = prog_and_weights
+    mean = (104.0, 117.0, 123.0)
+    exported = export_serving(
+        prog, params, state, batch=2, segments=4, crop=16,
+        platforms=("cpu",), uint8=True, frame_hw=(20, 24), mean=mean,
+    )
+    path = str(tmp_path / "mini_u8.stablehlo")
+    save_serving_artifact(exported, path)
+    serve = load_serving_artifact(path)
+
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 256, (2, 4, 20, 24, 3), dtype=np.uint8)
+    h_off = np.array([1, 3], np.int32)
+    w_off = np.array([5, 0], np.int32)
+    mirror = np.array([False, True])
+    got = serve(frames, h_off, w_off, mirror)
+
+    clips = np.stack([
+        frames[i, :, h_off[i]:h_off[i] + 16, w_off[i]:w_off[i] + 16, :]
+        for i in range(2)
+    ]).astype(np.float32) - np.asarray(mean, np.float32)
+    clips[1] = clips[1][:, :, ::-1, :]
+    want, _ = prog.apply(params, state, {"data": jnp.asarray(clips)})
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want["probs"]), atol=1e-6
+    )
+
+
+def test_int8_graph_exports(tmp_path, prog_and_weights):
+    """eco quantize composes with eco aot: the int8 twins are plain XLA
+    dots (no custom calls), so a PTQ'd graph lowers to the same portable
+    artifact format — int8 weights baked in, ~4x smaller than f32."""
+    prog, params, state, data = prog_and_weights
+    from eco_tpu.convert.quantize import quantize_for_serving
+
+    qprog, qp, qs, _ = quantize_for_serving(
+        prog, params, state, [{"data": data}]
+    )
+    exported = export_serving(
+        qprog, qp, qs, batch=8, segments=4, crop=16, platforms=("cpu",),
+    )
+    path = str(tmp_path / "mini_int8.stablehlo")
+    save_serving_artifact(exported, path)
+    serve = load_serving_artifact(path)
+    got = serve(data)
+    want, _ = qprog.apply(qp, qs, {"data": data})
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want["probs"]), atol=1e-6
+    )
+
+
+def test_uint8_rejects_frames_smaller_than_crop(prog_and_weights):
+    prog, params, state, _ = prog_and_weights
+    with pytest.raises(ValueError, match="smaller than crop"):
+        export_serving(
+            prog, params, state, batch=2, segments=4, crop=16,
+            platforms=("cpu",), uint8=True, frame_hw=(12, 20),
+        )
+
+
+def test_cli_aot(tmp_path, prog_and_weights):
+    """eco aot --net graph.json --weights model.npz -o artifact."""
+    prog, params, state, data = prog_and_weights
+    from eco_tpu.spec.graph import graph_to_json
+    from eco_tpu.tools.cli import main
+    from eco_tpu.train.checkpoint import save_model
+
+    gpath = tmp_path / "mini.graph.json"
+    gpath.write_text(graph_to_json(prog.graph))
+    wpath = str(tmp_path / "mini.npz")
+    save_model(wpath, params, state)
+    out = str(tmp_path / "mini.stablehlo")
+    main([
+        "aot", "--net", str(gpath), "--weights", wpath,
+        "--batch", "8", "--segments", "4", "--no-optimize",
+        "--platforms", "cpu", "-o", out,
+    ])
+    serve = load_serving_artifact(out)
+    got = serve(np.asarray(data))
+    want, _ = prog.apply(params, state, {"data": data})
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want["probs"]), atol=1e-6
+    )
