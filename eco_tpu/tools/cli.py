@@ -719,7 +719,9 @@ def cmd_aot(args):
     (jax.export).  TPU-native deploy analogue of the reference's
     deploy.prototxt + .caffemodel pair: weights baked in, loadable by any
     JAX process with no eco_tpu/model code (convert/export_hlo.py)."""
-    import jax
+    import json
+
+    import jax.numpy as jnp
 
     from eco_tpu.convert import (
         export_serving, optimize_for_inference, save_serving_artifact,
@@ -747,9 +749,31 @@ def cmd_aot(args):
         uint8=args.uint8, frame_hw=(args.frame_h, args.frame_w),
     )
     nbytes = save_serving_artifact(exported, args.output)
+    # deploy contract sidecar: the destination has no eco_tpu to ask, so
+    # record the calling convention next to the artifact
+    meta = {
+        "source": args.zoo or args.net,
+        "inputs": (["frames_u8 (N,S,H,W,3) BGR", "h_off (N,)",
+                    "w_off (N,)", "mirror (N,)"] if args.uint8
+                   else ["clips (N,S,crop,crop,3) BGR, mean-subtracted"]),
+        "in_avals": [
+            {"shape": [str(d) for d in a.shape], "dtype": str(a.dtype)}
+            for a in exported.in_avals
+        ],
+        "output": "class probabilities (N, num_classes)",
+        "mean_bgr": [104.0, 117.0, 123.0],
+        "platforms": list(exported.platforms),
+        "bf16": args.bf16,
+        "classes": (
+            [ln.strip() for ln in open(args.classes)] if args.classes else None
+        ),
+    }
+    with open(args.output + ".json", "w") as f:
+        json.dump(meta, f, indent=1)
     shapes = ", ".join(str(s.shape) for s in exported.in_avals)
     print(f"wrote {args.output}: {nbytes/1e6:.1f} MB, "
-          f"platforms={exported.platforms}, in=({shapes})")
+          f"platforms={exported.platforms}, in=({shapes}); "
+          f"contract -> {args.output}.json")
 
 
 def cmd_upgrade(args):
@@ -935,6 +959,9 @@ def main(argv=None):
     sp.add_argument("--frame-w", type=int, default=340)
     sp.add_argument("--platforms", default="tpu,cpu",
                     help="comma list of lowering targets")
+    sp.add_argument("--classes", default=None,
+                    help="class-name list file to embed in the contract "
+                         "sidecar (<output>.json)")
     sp.add_argument("-o", "--output", required=True)
     sp.set_defaults(fn=cmd_aot)
 

@@ -147,11 +147,20 @@ def test_cli_aot(tmp_path, prog_and_weights):
     wpath = str(tmp_path / "mini.npz")
     save_model(wpath, params, state)
     out = str(tmp_path / "mini.stablehlo")
+    classes = tmp_path / "classes.txt"
+    classes.write_text("".join(f"class_{i}\n" for i in range(5)))
     main([
         "aot", "--net", str(gpath), "--weights", wpath,
         "--batch", "8", "--segments", "4", "--no-optimize",
-        "--platforms", "cpu", "-o", out,
+        "--platforms", "cpu", "--classes", str(classes), "-o", out,
     ])
+    # deploy-contract sidecar records the calling convention + class map
+    import json
+
+    meta = json.load(open(out + ".json"))
+    assert meta["platforms"] == ["cpu"]
+    assert meta["classes"] == [f"class_{i}" for i in range(5)]
+    assert meta["in_avals"][0]["shape"] == ["8", "4", "16", "16", "3"]
     serve = load_serving_artifact(out)
     got = serve(np.asarray(data))
     want, _ = prog.apply(params, state, {"data": data})
