@@ -74,6 +74,8 @@ def export_serving(
     uint8: bool = False,
     frame_hw: tuple = (256, 340),
     mean=(104.0, 117.0, 123.0),
+    mesh=None,
+    data_axis: str = "data",
 ):
     """Lower ``program`` (a deploy-phase Program) to a serving artifact.
 
@@ -83,6 +85,13 @@ def export_serving(
 
     Weights/state are closed over and embedded as StableHLO constants --
     the artifact is the ``.caffemodel`` + deploy prototxt in one file.
+
+    ``mesh``: a ``jax.sharding.Mesh`` makes the artifact MULTI-CHIP --
+    inputs are batch-sharded over ``data_axis`` and GSPMD partitions the
+    whole program (weights replicated, activations sharded); the
+    destination calls it on any same-sized mesh of its own devices.
+    Mutually exclusive with ``dynamic_batch`` (a symbolic dim cannot
+    carry a divisibility-by-mesh constraint through serialization).
     """
     out_name = output or (
         "probs" if "probs" in program.output_names else program.output_names[-1]
@@ -130,6 +139,20 @@ def export_serving(
             jax.ShapeDtypeStruct((b, segments, crop, crop, 3), dtype),
         )
 
+    if mesh is not None:
+        if dynamic_batch:
+            raise ValueError("mesh and dynamic_batch are mutually exclusive")
+        if batch % mesh.shape[data_axis]:
+            raise ValueError(
+                f"batch {batch} not divisible by mesh axis "
+                f"{data_axis!r}={mesh.shape[data_axis]}"
+            )
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        batch_sharded = NamedSharding(mesh, PartitionSpec(data_axis))
+        jitted = jax.jit(fn, in_shardings=(batch_sharded,) * len(arg_specs))
+        # sharded exports lower for the mesh's own platform only
+        return jexport.export(jitted)(*arg_specs)
     return jexport.export(jax.jit(fn), platforms=list(platforms))(*arg_specs)
 
 

@@ -126,6 +126,39 @@ def test_int8_graph_exports(tmp_path, prog_and_weights):
     )
 
 
+def test_mesh_sharded_artifact(prog_and_weights):
+    """mesh= makes the artifact multi-chip: inputs batch-sharded over the
+    data axis, GSPMD partitions the program; the destination calls it on
+    its own same-sized mesh and gets single-device numerics."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from eco_tpu.parallel import make_mesh
+
+    prog, params, state, data = prog_and_weights
+    mesh = make_mesh()  # {'data': 8}
+    exported = export_serving(
+        prog, params, state, batch=8, segments=4, crop=16, mesh=mesh,
+    )
+    assert exported.nr_devices == 8
+    back = jax.export.deserialize(exported.serialize())
+    sharded = jax.device_put(data, NamedSharding(mesh, PartitionSpec("data")))
+    got = back.call(sharded)
+    want, _ = prog.apply(params, state, {"data": data})
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want["probs"]), atol=1e-5
+    )
+
+    with pytest.raises(ValueError, match="not divisible"):
+        export_serving(
+            prog, params, state, batch=6, segments=4, crop=16, mesh=mesh,
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        export_serving(
+            prog, params, state, batch=8, segments=4, crop=16, mesh=mesh,
+            dynamic_batch=True,
+        )
+
+
 def test_uint8_rejects_frames_smaller_than_crop(prog_and_weights):
     prog, params, state, _ = prog_and_weights
     with pytest.raises(ValueError, match="smaller than crop"):
