@@ -91,7 +91,11 @@ def export_serving(
     whole program (weights replicated, activations sharded); the
     destination calls it on any same-sized mesh of its own devices.
     Mutually exclusive with ``dynamic_batch`` (a symbolic dim cannot
-    carry a divisibility-by-mesh constraint through serialization).
+    carry a divisibility-by-mesh constraint through serialization) and
+    with a non-default ``platforms`` list: sharded exports lower for the
+    mesh devices' own platform only (jax.export rejects
+    platforms= for sharded programs), so a mesh artifact is
+    single-platform by construction.
     """
     out_name = output or (
         "probs" if "probs" in program.output_names else program.output_names[-1]
@@ -142,6 +146,14 @@ def export_serving(
     if mesh is not None:
         if dynamic_batch:
             raise ValueError("mesh and dynamic_batch are mutually exclusive")
+        if tuple(platforms) != ("tpu", "cpu"):
+            # a silently dropped explicit platforms= would surprise the
+            # caller into shipping a single-platform artifact believing
+            # it is portable
+            raise ValueError(
+                "platforms= is unsupported with mesh=: sharded exports "
+                "lower for the mesh devices' platform only"
+            )
         if batch % mesh.shape[data_axis]:
             raise ValueError(
                 f"batch {batch} not divisible by mesh axis "

@@ -28,11 +28,15 @@ def _build_graph(args, *, with_loss: bool):
     from eco_tpu.spec.prototxt import graph_from_prototxt
 
     if getattr(args, "zoo", None):
+        kw = {}
+        if getattr(args, "crop", None):
+            kw["crop_size"] = args.crop
         return get_model(
             args.zoo,
             num_segments=args.segments,
             with_loss=with_loss,
             batch=args.batch,
+            **kw,
         )
     if getattr(args, "net", None):
         if args.net.endswith(".json"):  # persisted GraphSpec (e.g. eco fold)
@@ -714,6 +718,13 @@ def cmd_export(args):
     print(f"Exported {len(exported)} layers -> {args.output}")
 
 
+def _read_class_names(path):
+    """Class-name list, one per line; blank lines dropped (a trailing
+    newline must not become an empty class)."""
+    with open(path) as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
 def cmd_aot(args):
     """AOT-lower an inference program to a StableHLO serving artifact
     (jax.export).  TPU-native deploy analogue of the reference's
@@ -741,12 +752,26 @@ def cmd_aot(args):
     shape = graph.inputs.get("data")
     crop = shape[2] if shape is not None and len(shape) == 5 else 224
     segments = shape[1] if shape is not None and len(shape) == 5 else args.segments
+    # the preprocess mean baked into --uint8 artifacts (and the contract
+    # the sidecar declares for f32 inputs): --mean flag wins, else the
+    # graph's own transform_param mean_value, else the BGR ImageNet
+    # default (104,117,123) -- flow nets train with mean 128, so baking
+    # the default unconditionally would silently corrupt them.
+    if args.mean:
+        mean_bgr = [float(v) for v in args.mean.split(",")]
+    else:
+        dcfg = _data_cfg_from_graph(graph, "test")
+        mean_bgr = (
+            list(dcfg.transform.mean_values)
+            if dcfg is not None else [104.0, 117.0, 123.0]
+        )
     exported = export_serving(
         prog, params, state,
         batch=args.batch, segments=segments, crop=crop,
         platforms=[p.strip() for p in args.platforms.split(",")],
         dynamic_batch=args.dynamic_batch,
         uint8=args.uint8, frame_hw=(args.frame_h, args.frame_w),
+        mean=tuple(mean_bgr),
     )
     nbytes = save_serving_artifact(exported, args.output)
     # deploy contract sidecar: the destination has no eco_tpu to ask, so
@@ -761,12 +786,11 @@ def cmd_aot(args):
             for a in exported.in_avals
         ],
         "output": "class probabilities (N, num_classes)",
-        "mean_bgr": [104.0, 117.0, 123.0],
+        "mean_bgr": mean_bgr,  # baked into --uint8 artifacts; the caller's
+        # contract (subtract before feeding) otherwise
         "platforms": list(exported.platforms),
         "bf16": args.bf16,
-        "classes": (
-            [ln.strip() for ln in open(args.classes)] if args.classes else None
-        ),
+        "classes": _read_class_names(args.classes) if args.classes else None,
     }
     with open(args.output + ".json", "w") as f:
         json.dump(meta, f, indent=1)
@@ -959,6 +983,13 @@ def main(argv=None):
     sp.add_argument("--frame-w", type=int, default=340)
     sp.add_argument("--platforms", default="tpu,cpu",
                     help="comma list of lowering targets")
+    sp.add_argument("--crop", type=int, default=None,
+                    help="--zoo input crop size (default: the zoo builder's "
+                         "224); --net graphs declare their own input shape")
+    sp.add_argument("--mean", default=None,
+                    help="comma BGR mean to bake into --uint8 preprocess / "
+                         "record in the sidecar (default: the graph's "
+                         "transform_param mean_value, else 104,117,123)")
     sp.add_argument("--classes", default=None,
                     help="class-name list file to embed in the contract "
                          "sidecar (<output>.json)")

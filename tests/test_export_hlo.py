@@ -157,6 +157,13 @@ def test_mesh_sharded_artifact(prog_and_weights):
             prog, params, state, batch=8, segments=4, crop=16, mesh=mesh,
             dynamic_batch=True,
         )
+    # sharded exports are single-platform; silently dropping an explicit
+    # platforms= would ship a non-portable artifact believed portable
+    with pytest.raises(ValueError, match="unsupported with mesh"):
+        export_serving(
+            prog, params, state, batch=8, segments=4, crop=16, mesh=mesh,
+            platforms=("cpu",),
+        )
 
 
 def test_uint8_rejects_frames_smaller_than_crop(prog_and_weights):
@@ -197,6 +204,47 @@ def test_cli_aot(tmp_path, prog_and_weights):
     serve = load_serving_artifact(out)
     got = serve(np.asarray(data))
     want, _ = prog.apply(params, state, {"data": data})
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want["probs"]), atol=1e-6
+    )
+
+
+def test_cli_aot_mean_flag_baked_into_uint8(tmp_path, prog_and_weights):
+    """--mean overrides the preprocess mean baked into --uint8 artifacts
+    and is recorded in the sidecar (flow nets use 128, not the BGR
+    ImageNet default -- advisor r3 medium finding)."""
+    prog, params, state, _ = prog_and_weights
+    import json
+
+    from eco_tpu.spec.graph import graph_to_json
+    from eco_tpu.tools.cli import main
+    from eco_tpu.train.checkpoint import save_model
+
+    gpath = tmp_path / "mini.graph.json"
+    gpath.write_text(graph_to_json(prog.graph))
+    wpath = str(tmp_path / "mini.npz")
+    save_model(wpath, params, state)
+    out = str(tmp_path / "mini_u8.stablehlo")
+    # classes with blank lines: blanks must not become empty class names
+    classes = tmp_path / "classes.txt"
+    classes.write_text("a\n\nb\nc\nd\ne\n\n")
+    main([
+        "aot", "--net", str(gpath), "--weights", wpath,
+        "--batch", "2", "--segments", "4", "--no-optimize",
+        "--platforms", "cpu", "--uint8", "--frame-h", "20", "--frame-w",
+        "24", "--mean", "128,128,128", "--classes", str(classes), "-o", out,
+    ])
+    meta = json.load(open(out + ".json"))
+    assert meta["mean_bgr"] == [128.0, 128.0, 128.0]
+    assert meta["classes"] == ["a", "b", "c", "d", "e"]
+
+    serve = load_serving_artifact(out)
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (2, 4, 20, 24, 3), dtype=np.uint8)
+    zeros = np.zeros(2, np.int32)
+    got = serve(frames, zeros, zeros, np.zeros(2, bool))
+    clips = frames[:, :, :16, :16, :].astype(np.float32) - 128.0
+    want, _ = prog.apply(params, state, {"data": jnp.asarray(clips)})
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want["probs"]), atol=1e-6
     )
