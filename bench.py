@@ -51,22 +51,29 @@ def _sync(out):
     return float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
 
 
-def _pipelined_time(fn, args_variants, iters, warmup=2):
+def _pipelined_time(fn, args_variants, iters, warmup=2, passes=2):
     """Dispatch iters calls over rotating inputs, then one scalar-fetch
     barrier on the last output.  Through the axon relay each host
     round-trip costs ~30 ms, so a serial fetch-per-iteration under-reports
     device throughput; pipelining overlaps the round-trips with compute
     (serving shape).  Cross-checked in round 1 against a device-side
-    lax.fori_loop measurement (within 5%)."""
+    lax.fori_loop measurement (within 5%).
+
+    min-of-``passes`` (VERDICT r3 #2): a single relay hiccup inside the
+    timed window inflates dt for the whole pass; taking the best of two
+    independent passes makes the headline regression-proof the same way
+    bench_preprocess_kernel already is."""
     for v in args_variants[:warmup]:
         _sync(fn(*v))
-    t0 = time.perf_counter()
-    outs = [fn(*args_variants[i % len(args_variants)]) for i in range(iters)]
-    _sync(outs[-1])
-    dt = (time.perf_counter() - t0) / iters
-    for o in outs:
-        jax.block_until_ready(o)
-    return dt
+    best = float("inf")
+    for _ in range(max(1, passes)):
+        t0 = time.perf_counter()
+        outs = [fn(*args_variants[i % len(args_variants)]) for i in range(iters)]
+        _sync(outs[-1])
+        best = min(best, (time.perf_counter() - t0) / iters)
+        for o in outs:
+            jax.block_until_ready(o)
+    return best
 
 
 def _infer_setup(zoo_name, batch, num_segments=16):
@@ -163,11 +170,13 @@ def bench_train(batch=16, num_segments=16, iters=8, with_cost=True):
     # steps chain through ts (true serial dependency); fetch once at the end
     ts, m = compiled(ts, batch_d, key)
     float(m["loss"])  # scalar fetch = provable device barrier (see _sync)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        ts, m = compiled(ts, batch_d, key)
-    float(m["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    dt = float("inf")
+    for _ in range(2):  # min-of-2 passes (relay-hiccup-proof, see _pipelined_time)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            ts, m = compiled(ts, batch_d, key)
+        float(m["loss"])
+        dt = min(dt, (time.perf_counter() - t0) / iters)
     out = {"videos_per_sec": batch / dt, "step_ms": dt * 1e3, "batch": batch}
     if with_cost:
         try:
@@ -421,14 +430,31 @@ def bench_serving(batch=8, num_segments=16, hw=(256, 340), iters=3):
     def run_f32():
         return np.asarray(fwd(params, state, jnp.asarray(clips_f32)))
 
+    # Hiccup-robust timing (VERDICT r3 #4): each call is an independent
+    # end-to-end round trip, so take the MIN over iters single-call times --
+    # one ~20ms relay stall no longer poisons the whole mean (r02->r03 saw a
+    # 2.5x swing from exactly this).  Also report the payload size and the
+    # transfer-only time so the transfer/compute split is explicit.
     out = {}
-    for name, fn in (("uint8_onchip", run_u8), ("f32_host", run_f32)):
+    for name, fn, payload in (
+        ("uint8_onchip", run_u8, frames_u8),
+        ("f32_host", run_f32, clips_f32),
+    ):
         fn()  # warmup/compile
-        t0 = time.perf_counter()
-        for _ in range(iters):
+        best = float("inf")
+        for _ in range(max(3, iters)):
+            t0 = time.perf_counter()
             fn()
-        dt = (time.perf_counter() - t0) / iters
-        out[f"serving_{name}_videos_per_sec"] = round(batch / dt, 2)
+            best = min(best, time.perf_counter() - t0)
+        out[f"serving_{name}_videos_per_sec"] = round(batch / best, 2)
+        out[f"serving_{name}_payload_mb"] = round(payload.nbytes / 1e6, 1)
+        # transfer-only: ship the payload and barrier, no compute
+        tbest = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(jnp.asarray(payload))
+            tbest = min(tbest, time.perf_counter() - t0)
+        out[f"serving_{name}_transfer_ms"] = round(tbest * 1e3, 1)
     out["serving_batch"] = batch
     return out
 
@@ -561,8 +587,11 @@ def main():
                 extra.update(bench_serving())
             except Exception as e:
                 extra["serving_error"] = repr(e)
-        # retained round-2 study, cheapest to lose under the wall budget
-        if not _over_budget("pool_kernel_study"):
+        # round-2 study; its verdict (XLA wins, kernel stays opt-in) is
+        # settled and recorded in BENCH_r03/PERF_NOTES, so the ~30s of chip
+        # time is now opt-in rather than paid every round (VERDICT r3 #7)
+        if os.environ.get("ECO_BENCH_POOL_STUDY", "0") == "1" and \
+                not _over_budget("pool_kernel_study"):
             try:
                 _note("pool kernel A/B")
                 extra.update(bench_pool_kernels())
