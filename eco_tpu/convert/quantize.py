@@ -38,19 +38,16 @@ def _quantizable(layer) -> bool:
     return True
 
 
-def calibrate(program, params, state, batches: Sequence[Mapping[str, Any]],
-              ) -> dict[str, float]:
-    """Per-tensor |max| of every quantizable layer's input blob.
+def calibrate_blobs(program, params, state,
+                    batches: Sequence[Mapping[str, Any]],
+                    blobs: Sequence[str]) -> dict[str, float]:
+    """Per-tensor |max| of arbitrary blobs over calibration batches.
 
     One jitted capture pass per batch (the profiler's blob-peek mechanism,
-    Program.apply(capture=...)); returns {layer_name: act_max} as host
-    floats, ready to bake into the quantized GraphSpec as static scales.
-    """
-    targets = {
-        l.name: l.bottoms[0]
-        for l in program.exec_layers if _quantizable(l)
-    }
-    blobs = sorted(set(targets.values()))
+    Program.apply(capture=...)); returns {blob: max} as host floats.  For a
+    blob rewritten in place (e.g. an in-place ReLU top) the captured value
+    is the FINAL one -- exactly what downstream consumers see."""
+    blobs = sorted(set(blobs))
 
     @jax.jit
     def maxes(p, s, inputs):
@@ -63,6 +60,18 @@ def calibrate(program, params, state, batches: Sequence[Mapping[str, Any]],
         m = maxes(params, state, batch)
         for b in blobs:
             agg[b] = max(agg[b], float(m[b]))
+    return agg
+
+
+def calibrate(program, params, state, batches: Sequence[Mapping[str, Any]],
+              ) -> dict[str, float]:
+    """Per-tensor |max| of every quantizable layer's input blob, as
+    {layer_name: act_max}, ready to bake into the quantized GraphSpec."""
+    targets = {
+        l.name: l.bottoms[0]
+        for l in program.exec_layers if _quantizable(l)
+    }
+    agg = calibrate_blobs(program, params, state, batches, targets.values())
     return {lname: agg[b] for lname, b in targets.items()}
 
 
@@ -101,14 +110,196 @@ def quantize_graph(graph: GraphSpec, params: Mapping,
     return qgraph, qparams, quantized
 
 
+_TRANSPARENT = {"relu", "reshape", "permute", "flatten", "dropout",
+                "fold_segments", "unfold_segments"}
+_Q_TYPES = ("qconvolution", "qinnerproduct")
+
+
+def chain_int8(graph: GraphSpec, top_maxes: Mapping[str, float] | None = None,
+               ) -> tuple[GraphSpec, list[str]]:
+    """Fuse adjacent quantized layers into int8-resident chains.
+
+    After ``quantize_graph`` every q-layer quantizes its float input and
+    dequantizes its int32 accumulator back to float -- so each inter-layer
+    tensor rides HBM twice at bf16 width plus pays a quantize pass
+    (measured int8:bf16 MXU ratio 1.59x but e2e only 1.17x in round 3:
+    the remainder is exactly this float traffic).  This pass keeps tensors
+    int8 BETWEEN quantized layers whenever the dataflow allows:
+
+    - a q-layer whose output (transitively through ReLU / MAX pool /
+      reshape / permute / dropout / concat) is consumed only by other
+      quantized layers emits int8 directly, with requantization fused into
+      its dequant epilogue (``options['out_scale']``);
+    - consuming q-layers skip their quantize pass (input is already int8;
+      their ``act_scale`` is overridden to the producer's emit scale);
+    - AVE pools and Eltwise inside a chain accept int8 and dequantize
+      in-op (``in_scale``/``in_scales``), so they don't break the chain
+      upstream of them;
+    - anything else (loss/softmax/graph outputs/float layers) terminates
+      the chain: the producer keeps its float epilogue.
+
+    Scale discipline: a producer's emitted scale is pinned by its OWN
+    calibrated output range when ``top_maxes`` (blob -> calibrated |max|,
+    from calibrate_blobs on the q-layer tops) is given -- zero clipping on
+    calibration data by construction -- and otherwise falls back to the max
+    calibrated act_scale reachable from the value.  All consumers of an
+    int8 value are rewritten to the exact emitted scale, so dequantization
+    is always exact.  Returns (new_graph, chained_layer_names).
+    """
+    layers = list(graph.layers)
+    # -- SSA over the blob names (in-place layers rewrite the same name) --
+    ver: dict[str, int] = {}
+    layer_in: list[list] = []
+    layer_out: list[list] = []
+    consumers: dict[tuple, list[int]] = {}
+    for name in graph.inputs:
+        ver[name] = 0
+    for idx, l in enumerate(layers):
+        ins = [(b, ver.get(b, 0)) for b in l.bottoms]
+        for v in ins:
+            consumers.setdefault(v, []).append(idx)
+        outs = []
+        for t in l.tops:
+            ver[t] = ver.get(t, 0) + 1
+            outs.append((t, ver[t]))
+            consumers.setdefault((t, ver[t]), [])
+        layer_in.append(ins)
+        layer_out.append(outs)
+
+    def _lt(l):
+        return l.type.lower()
+
+    def _transparent(l) -> bool:
+        t = _lt(l)
+        if t == "relu":
+            return not float(l.opt("negative_slope", 0.0) or 0.0)
+        if t == "pooling":
+            return (str(l.opt("pool", "max")).lower() == "max")
+        return t in _TRANSPARENT
+
+    def _accepting(l) -> bool:
+        # float ops that can take int8 in and dequantize internally
+        t = _lt(l)
+        if t == "pooling":
+            return str(l.opt("pool", "max")).lower() in ("ave", "avg", "mean")
+        if t == "eltwise":
+            return str(l.opt("operation", "sum")).lower() == "sum"
+        # scale = the per-channel affine fold_bn leaves after residual adds
+        # (gen_bn_inference.py's blocked-fold fallback); dequant composes
+        # with its multiply in one fusion
+        return t in ("global_avg_pool", "scale")
+
+    # -- backward pass: can value v be int8, and at what preferred scale? --
+    # feasible[v]: every consumer accepts int8.  prefer[v]: max calibrated
+    # act_scale reachable (None if only scale-free consumers -> no chain,
+    # there is nothing to pin the representation to).
+    feasible: dict[tuple, bool] = {}
+    prefer: dict[tuple, float | None] = {}
+
+    def _value_info(v):
+        cons = consumers.get(v, [])
+        if not cons:
+            return False, None  # graph output / unused: stay float
+        scales = []
+        for ci in cons:
+            l = layers[ci]
+            t = _lt(l)
+            if t in _Q_TYPES and layer_in[ci][0] == v:
+                scales.append(float(l.opt("act_scale")))
+            elif t == "concat" or _transparent(l):
+                vo = layer_out[ci][0]
+                if not feasible.get(vo, False):
+                    return False, None
+                if prefer.get(vo) is not None:
+                    scales.append(prefer[vo])
+            elif _accepting(l):
+                # takes int8 at ANY scale (dequants in-op).  Eltwise SUM
+                # additionally lends its downstream preference as a scale
+                # hint (addend magnitude ~ sum magnitude, so quantizing the
+                # addends against the post-sum calibration is safe); pools
+                # do NOT -- averaging shrinks the post-pool range by up to
+                # the window size, so a post-pool scale would clip the
+                # pre-pool values (observed on mini_eco's global pool).
+                if t == "eltwise" and prefer.get(layer_out[ci][0]) is not None:
+                    scales.append(prefer[layer_out[ci][0]])
+            else:
+                return False, None
+        return True, (max(scales) if scales else None)
+
+    for idx in range(len(layers) - 1, -1, -1):
+        for v in layer_out[idx]:
+            feasible[v], prefer[v] = _value_info(v)
+
+    # -- forward pass: actual emit scales + option rewrites --
+    emit: dict[tuple, float] = {}  # value -> int8 scale actually on the wire
+    new_opts: dict[int, dict] = {}
+    chained: list[str] = []
+    for idx, l in enumerate(layers):
+        t = _lt(l)
+        opts = new_opts.setdefault(idx, dict(l.options))
+        if t in _Q_TYPES:
+            vin = layer_in[idx][0]
+            if vin in emit:
+                opts["act_scale"] = emit[vin]  # exact dequant of wire int8
+                opts["int8_in"] = True
+            vout = layer_out[idx][0]
+            if feasible.get(vout):
+                # own calibrated output range pins the scale when known;
+                # otherwise the strongest downstream preference
+                s = None
+                if top_maxes and top_maxes.get(l.tops[0], 0.0) > 0.0:
+                    s = float(top_maxes[l.tops[0]]) / 127.0
+                elif prefer.get(vout) is not None:
+                    s = prefer[vout]
+                if s is not None:
+                    opts["out_scale"] = s
+                    emit[vout] = s
+                    chained.append(l.name)
+        elif _transparent(l):
+            vin = layer_in[idx][0]
+            if vin in emit:
+                emit[layer_out[idx][0]] = emit[vin]
+        elif t == "concat":
+            ins = layer_in[idx]
+            ss = [emit.get(v) for v in ins]
+            if all(s is not None for s in ss) and len(set(ss)) == 1:
+                emit[layer_out[idx][0]] = ss[0]  # int8 passes through
+            elif any(s is not None for s in ss):
+                opts["in_scales"] = ss  # mixed: dequant int8 inputs in-op
+        elif _accepting(l):
+            ins = layer_in[idx]
+            ss = [emit.get(v) for v in ins]
+            if any(s is not None for s in ss):
+                if t in ("pooling", "global_avg_pool", "scale"):
+                    opts["in_scale"] = ss[0]
+                else:
+                    opts["in_scales"] = ss
+        # all other layer types: analysis guarantees no int8 input reaches
+        # them (feasible() returned False upstream otherwise)
+
+    qlayers = [
+        l.replace(options=new_opts[i]) if new_opts[i] != dict(l.options) else l
+        for i, l in enumerate(layers)
+    ]
+    return GraphSpec(
+        name=graph.name,
+        inputs=dict(graph.inputs),
+        layers=qlayers,
+        options=dict(graph.options),
+    ), chained
+
+
 def quantize_for_serving(program, params, state,
                          calib_batches: Sequence[Mapping[str, Any]],
                          *, fold: bool = True,
+                         chain: bool = True,
                          compute_dtype=None):
-    """One-call post-training quantization: fold BN -> calibrate -> rewrite.
+    """One-call post-training quantization: fold BN -> calibrate -> rewrite
+    -> int8-chain fusion (``chain=False`` keeps the per-layer float edges).
 
     Returns (qprogram, qparams, qstate, report).  ``report['quantized']``
-    lists the rewritten layers; ``report['act_scales']`` the baked scales.
+    lists the rewritten layers; ``report['chained']`` the subset emitting
+    int8 directly; ``report['act_scales']`` the baked scales.
     """
     from eco_tpu.runtime.executor import Program
 
@@ -121,14 +312,30 @@ def quantize_for_serving(program, params, state,
             graph, train=False,
             compute_dtype=compute_dtype or program.compute_dtype,
         )
-    act_maxes = calibrate(program, p, s, calib_batches)
+    # one capture pass measures both the q-layer INPUT ranges (per-layer
+    # act_scale) and their OUTPUT ranges (chain_int8 emit-scale pinning)
+    targets = {
+        l.name: l.bottoms[0]
+        for l in program.exec_layers if _quantizable(l)
+    }
+    tops = {l.tops[0] for l in program.exec_layers if _quantizable(l)}
+    agg = calibrate_blobs(
+        program, p, s, calib_batches, set(targets.values()) | tops
+    )
+    act_maxes = {lname: agg[b] for lname, b in targets.items()}
     qgraph, qp, quantized = quantize_graph(graph, p, act_maxes)
+    chained: list[str] = []
+    if chain:
+        qgraph, chained = chain_int8(
+            qgraph, top_maxes={b: agg[b] for b in tops}
+        )
     qprog = Program(
         qgraph, train=False,
         compute_dtype=compute_dtype or program.compute_dtype,
     )
     report = {
         "quantized": quantized,
+        "chained": chained,
         "act_scales": {
             l.name: l.opt("act_scale") for l in qgraph.layers
             if l.type in ("qconvolution", "qinnerproduct")

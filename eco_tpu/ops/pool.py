@@ -77,7 +77,13 @@ def pool_nd(
                     and poolfuse.supports(x.shape, kernel, stride, pad, mode)
                     and jax.default_backend() == "tpu"):
                 return poolfuse.fused_maxpool_3x3s2(x)
-        init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            if os.environ.get("ECO_POOL_MASK_VJP") == "1":
+                return _maxpool_mask_vjp(x, tuple(kernel), tuple(stride),
+                                         tuple(pad_cfg))
+            init = -jnp.inf
+        else:  # e.g. int8 inside a quantized chain: typed identity element
+            init = x.dtype.type(jnp.iinfo(x.dtype).min)
         return lax.reduce_window(x, init, lax.max, window, strides, padding)
     if mode in ("ave", "avg", "mean"):
         acc = lax.reduce_window(
@@ -93,6 +99,76 @@ def pool_nd(
     raise ValueError(
         f"unknown pool mode {mode!r} (use stochastic_pool for STOCHASTIC)"
     )
+
+
+import functools
+import itertools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _maxpool_mask_vjp(x, kernel, stride, pad_cfg):
+    """MAX pool whose VJP recomputes argmax masks instead of lowering to
+    XLA's select-and-scatter (measured 4-5x the forward cost on v5e,
+    docs/PERF_NOTES.md).  Backward = K dense shifted adds, no scatter:
+    for each in-window offset o, the windows claiming their max at o
+    contribute their cotangent there; first-match claim ordering (row-major
+    offsets) reproduces Caffe's single-argmax routing
+    (pooling_layer.cpp MAX backward) including ties, e.g. the many exact
+    zeros after ReLU.  Opt-in via ECO_POOL_MASK_VJP=1."""
+    return _maxpool_fwd_raw(x, kernel, stride, pad_cfg)
+
+
+def _maxpool_fwd_raw(x, kernel, stride, pad_cfg):
+    window = (1,) + tuple(kernel) + (1,)
+    strides = (1,) + tuple(stride) + (1,)
+    padding = [(0, 0)] + list(pad_cfg) + [(0, 0)]
+    return lax.reduce_window(x, -jnp.inf, lax.max, window, strides, padding)
+
+
+def _maxpool_mask_fwd(x, kernel, stride, pad_cfg):
+    y = _maxpool_fwd_raw(x, kernel, stride, pad_cfg)
+    return y, (x, y)
+
+
+def _maxpool_mask_bwd(kernel, stride, pad_cfg, res, g):
+    x, y = res
+    nsp = x.ndim - 2
+    neg = x.dtype.type(-jnp.inf)
+    xpad = jnp.pad(
+        x, [(0, 0)] + list(pad_cfg) + [(0, 0)], constant_values=neg
+    )
+    out_sp = y.shape[1:-1]
+    gz = g.dtype.type(0)
+    claimed = jnp.zeros(y.shape, bool)
+    gx_pad = None
+    for o in itertools.product(*[range(k) for k in kernel]):
+        limit = [o[d] + (out_sp[d] - 1) * stride[d] + 1 for d in range(nsp)]
+        xs = lax.slice(
+            xpad,
+            (0,) + tuple(o) + (0,),
+            (x.shape[0],) + tuple(limit) + (xpad.shape[-1],),
+            (1,) + tuple(stride) + (1,),
+        )
+        eq = xs == y
+        contrib = jnp.where(eq & ~claimed, g, gz)
+        claimed = claimed | eq
+        # place contrib at offset o with stride-1 interior zeros: the exact
+        # adjoint of the strided slice above, as one dense pad (no scatter)
+        cfg = [(0, 0, 0)] + [
+            (o[d], xpad.shape[1 + d] - limit[d], stride[d] - 1)
+            for d in range(nsp)
+        ] + [(0, 0, 0)]
+        term = lax.pad(contrib, gz, cfg)
+        gx_pad = term if gx_pad is None else gx_pad + term
+    # strip the forward padding
+    slc = [slice(None)] + [
+        slice(lo, gx_pad.shape[1 + d] - hi)
+        for d, (lo, hi) in enumerate(pad_cfg)
+    ] + [slice(None)]
+    return (gx_pad[tuple(slc)],)
+
+
+_maxpool_mask_vjp.defvjp(_maxpool_mask_fwd, _maxpool_mask_bwd)
 
 
 def extract_pool_windows(x: jax.Array, kernel, stride) -> jax.Array:

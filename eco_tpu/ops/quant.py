@@ -52,6 +52,20 @@ def quantize_act(x: jax.Array, scale: float) -> jax.Array:
     ).astype(jnp.int8)
 
 
+def _epilogue(y, scale_vec, b, *, out_scale, out_dtype):
+    """Shared dequant/requant tail: int32 accumulator -> float (dequant by
+    ``scale_vec`` per channel, + bias), then either cast to ``out_dtype``
+    (chain end) or REQUANTIZE to int8 at ``out_scale`` (int8 chain: the next
+    consumer is also quantized, so the bf16 round trip through HBM is
+    skipped entirely -- VERDICT r3 #3)."""
+    y = y.astype(jnp.float32) * scale_vec
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    if out_scale is not None:
+        return jnp.clip(jnp.round(y / out_scale), -127, 127).astype(jnp.int8)
+    return y.astype(out_dtype)
+
+
 def conv_nd_int8(
     x: jax.Array,
     w_q: jax.Array,
@@ -63,16 +77,25 @@ def conv_nd_int8(
     pad=0,
     dilation=1,
     groups: int = 1,
+    out_scale: float | None = None,
+    out_dtype=None,
 ) -> jax.Array:
-    """Quantized ND conv: float in, float out, int8 on the MXU.
+    """Quantized ND conv: int8 on the MXU, float OR int8 at the edges.
 
-    ``x``: float (N, *spatial, C_in); ``w_q``: int8 (*k, C_in/g, C_out);
-    ``w_scale``: f32 (C_out,).  Layout matches ops.conv_nd exactly
-    (base_conv_layer.cpp geometry), forward convs only.
+    ``x``: float (N, *spatial, C_in) -- quantized here at ``act_scale`` --
+    or already int8 (an upstream quantized layer emitted it at
+    ``act_scale``; quantization is skipped).  ``w_q``: int8
+    (*k, C_in/g, C_out); ``w_scale``: f32 (C_out,).  Layout matches
+    ops.conv_nd exactly (base_conv_layer.cpp geometry), forward convs only.
+    ``out_scale`` set -> int8 output at that scale (see _epilogue).
     """
     num_spatial = x.ndim - 2
-    out_dtype = x.dtype
-    x_q = quantize_act(x, act_scale)
+    if x.dtype == jnp.int8:
+        x_q = x
+        out_dtype = out_dtype or jnp.float32
+    else:
+        out_dtype = out_dtype or x.dtype
+        x_q = quantize_act(x, act_scale)
     stride = normalize_spatial_param(stride, num_spatial, default=1)
     pad = normalize_spatial_param(pad, num_spatial, default=0)
     dilation = normalize_spatial_param(dilation, num_spatial, default=1)
@@ -87,10 +110,10 @@ def conv_nd_int8(
         feature_group_count=groups,
         preferred_element_type=jnp.int32,
     )
-    y = y.astype(jnp.float32) * (act_scale * w_scale.astype(jnp.float32))
-    if b is not None:
-        y = y + b.astype(jnp.float32)
-    return y.astype(out_dtype)
+    return _epilogue(
+        y, act_scale * w_scale.astype(jnp.float32), b,
+        out_scale=out_scale, out_dtype=out_dtype,
+    )
 
 
 def inner_product_int8(
@@ -100,14 +123,21 @@ def inner_product_int8(
     b: jax.Array | None = None,
     *,
     act_scale: float,
+    out_scale: float | None = None,
+    out_dtype=None,
 ) -> jax.Array:
-    """Quantized (N, Din) x (Din, Dout) matmul, float in/out, int8 MXU."""
-    out_dtype = x.dtype
-    x_q = quantize_act(x, act_scale)
+    """Quantized (N, Din) x (Din, Dout) matmul, int8 MXU; edge dtypes as
+    conv_nd_int8."""
+    if x.dtype == jnp.int8:
+        x_q = x
+        out_dtype = out_dtype or jnp.float32
+    else:
+        out_dtype = out_dtype or x.dtype
+        x_q = quantize_act(x, act_scale)
     y = lax.dot_general(
         x_q, w_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
-    y = y.astype(jnp.float32) * (act_scale * w_scale.astype(jnp.float32))
-    if b is not None:
-        y = y + b.astype(jnp.float32)
-    return y.astype(out_dtype)
+    return _epilogue(
+        y, act_scale * w_scale.astype(jnp.float32), b,
+        out_scale=out_scale, out_dtype=out_dtype,
+    )

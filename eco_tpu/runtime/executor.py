@@ -155,6 +155,7 @@ class _QConv(LayerImpl):
                 f"int8 layer {spec.name!r} is serving-only; train the "
                 "float model and re-quantize (convert.quantize)"
             )
+        out_scale = spec.opt("out_scale")
         y = conv_nd_int8(
             inputs[0],
             params["w"],
@@ -165,6 +166,8 @@ class _QConv(LayerImpl):
             pad=spec.opt("pad", 0),
             dilation=spec.opt("dilation", 1),
             groups=int(spec.opt("group", 1)),
+            out_scale=float(out_scale) if out_scale is not None else None,
+            out_dtype=ctx.compute_dtype,
         )
         return [y], None
 
@@ -195,9 +198,12 @@ class _QInnerProduct(LayerImpl):
         x = inputs[0]
         if x.ndim > 2:
             x = ops.to_logical(x).reshape(x.shape[0], -1)
+        out_scale = spec.opt("out_scale")
         y = inner_product_int8(
             x, params["w"], params["w_scale"], params.get("b"),
             act_scale=float(spec.opt("act_scale")),
+            out_scale=float(out_scale) if out_scale is not None else None,
+            out_dtype=ctx.compute_dtype,
         )
         return [y], None
 
@@ -265,6 +271,17 @@ class _ReLU(LayerImpl):
 
 class _Pooling(LayerImpl):
     def apply(self, spec, params, state, inputs, ctx):
+        x = inputs[0]
+        if x.dtype == jnp.int8 and spec.opt("in_scale") is not None:
+            # int8-accepting float pool (set by convert.quantize.chain_int8
+            # on AVE pools inside an int8 chain): fuse the dequant here so
+            # the upstream quantized conv can emit int8 -- the elementwise
+            # multiply fuses into the pool's producer fusion, and the
+            # inter-layer tensor rides HBM at 1 byte instead of 2.
+            x = x.astype(jnp.float32) * jnp.float32(spec.opt("in_scale"))
+            if ctx.compute_dtype is not None:
+                x = x.astype(ctx.compute_dtype)
+            inputs = [x] + list(inputs[1:])
         k = spec.opt("kernel_size")
         if k is None and spec.opt("kernel_h") is not None:
             k = (int(spec.opt("kernel_h")), int(spec.opt("kernel_w")))
@@ -308,6 +325,17 @@ class _Dropout(LayerImpl):
 
 class _Eltwise(LayerImpl):
     def apply(self, spec, params, state, inputs, ctx):
+        in_scales = spec.opt("in_scales")
+        if in_scales is not None:
+            # int8-accepting eltwise (convert.quantize.chain_int8): each
+            # int8 input carries its producer's emit scale; dequant here
+            # (fuses into this op), compute in float as usual.
+            inputs = [
+                (x.astype(jnp.float32) * jnp.float32(s)).astype(
+                    ctx.compute_dtype or jnp.float32
+                ) if (x.dtype == jnp.int8 and s is not None) else x
+                for x, s in zip(inputs, in_scales)
+            ]
         y = ops.eltwise(
             inputs,
             spec.opt("operation", "sum"),
@@ -320,6 +348,17 @@ class _Eltwise(LayerImpl):
 
 class _Concat(LayerImpl):
     def apply(self, spec, params, state, inputs, ctx):
+        in_scales = spec.opt("in_scales")
+        if in_scales is not None:
+            # int8-accepting concat (convert.quantize.chain_int8): dequant
+            # mixed-scale int8 inputs here; all-int8-same-scale concats are
+            # instead left int8 (no in_scales set) and pass through below.
+            inputs = [
+                (x.astype(jnp.float32) * jnp.float32(s)).astype(
+                    ctx.compute_dtype or jnp.float32
+                ) if (x.dtype == jnp.int8 and s is not None) else x
+                for x, s in zip(inputs, in_scales)
+            ]
         # concat_dim is the V0/V1 legacy spelling of axis
         axis = int(spec.opt("axis", spec.opt("concat_dim", 1)))
         if axis == 1 or inputs[0].ndim <= 2:
@@ -376,7 +415,13 @@ class _SegmentConsensus(LayerImpl):
 
 class _GlobalAvgPool(LayerImpl):
     def apply(self, spec, params, state, inputs, ctx):
-        return [ops.global_avg_pool(inputs[0])], None
+        x = inputs[0]
+        if x.dtype == jnp.int8 and spec.opt("in_scale") is not None:
+            # int8-accepting (convert.quantize.chain_int8) -- see _Pooling
+            x = x.astype(jnp.float32) * jnp.float32(spec.opt("in_scale"))
+            if ctx.compute_dtype is not None:
+                x = x.astype(ctx.compute_dtype)
+        return [ops.global_avg_pool(x)], None
 
 
 class _Softmax(LayerImpl):
@@ -417,7 +462,14 @@ class _Scale(LayerImpl):
         return out
 
     def apply(self, spec, params, state, inputs, ctx):
-        return [ops.scale_shift(inputs[0], params["scale"], params.get("shift", 0.0))], None
+        x = inputs[0]
+        if x.dtype == jnp.int8 and spec.opt("in_scale") is not None:
+            # int8-accepting (convert.quantize.chain_int8): the dequant
+            # multiply composes with the per-channel scale in one fusion
+            x = x.astype(jnp.float32) * jnp.float32(spec.opt("in_scale"))
+            if ctx.compute_dtype is not None:
+                x = x.astype(ctx.compute_dtype)
+        return [ops.scale_shift(x, params["scale"], params.get("shift", 0.0))], None
 
 
 class _Power(LayerImpl):
@@ -975,17 +1027,49 @@ class _SmoothL1Loss(LayerImpl):
 
 class _Filter(LayerImpl):
     """FilterLayer forwards only the batch items whose selector entry is
-    non-zero (filter_layer.cpp) -- a DATA-DEPENDENT output shape, which
-    XLA's static-shape compilation model cannot express.  Declared
-    unsupported; mask instead (multiply by the selector, or gather with a
-    statically sized index set)."""
+    non-zero (filter_layer.cpp: last bottom is the selector, one top per
+    data bottom, output batch = number of selected rows) -- a
+    DATA-DEPENDENT output shape, which XLA's static-shape compilation
+    model cannot express.
+
+    TPU-native executable variant (VERDICT r3 #8): set options
+    ``capacity`` (static max selected rows) and the layer compiles as a
+    fixed-size gather -- selected rows are compacted to the front in
+    original order (filter_layer.cpp preserves order), the remaining
+    ``capacity - n_selected`` rows are zero, and each data top is followed
+    by ... the ordinary tops; declare ONE EXTRA top to also receive the
+    (capacity,) bool validity mask.  Without ``capacity`` the layer keeps
+    the reference refusal (use masking instead)."""
 
     def apply(self, spec, params, state, inputs, ctx):
-        raise NotImplementedError(
-            "Filter has a data-dependent output shape (rows whose selector "
-            "is non-zero), which cannot compile under XLA's static shapes; "
-            "use masking or a fixed-size gather instead (PARITY.md)"
+        cap = spec.opt("capacity")
+        if cap is None:
+            raise NotImplementedError(
+                "Filter has a data-dependent output shape (rows whose "
+                "selector is non-zero), which cannot compile under XLA's "
+                "static shapes; set options['capacity'] for the fixed-size "
+                "gather variant, or use masking (PARITY.md)"
+            )
+        cap = int(cap)
+        *data, sel = inputs
+        sel = sel.reshape(sel.shape[0])  # (N,1,1,1) legacy -> (N,)
+        n = sel.shape[0]
+        keep = sel != 0
+        # stable compaction: position of each kept row in the output
+        pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        # idx[j] = input row landing at output j (cap rows, n fill = OOB)
+        idx = jnp.full((cap,), n, jnp.int32)
+        # rows selected beyond capacity overflow to index cap -> dropped
+        idx = idx.at[jnp.where(keep & (pos < cap), pos, cap)].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop"
         )
+        valid = idx < n
+        outs = [
+            jnp.take(d, idx, axis=0, mode="fill", fill_value=0) for d in data
+        ]
+        if len(spec.tops) == len(data) + 1:
+            outs.append(valid)
+        return outs, None
 
 
 class _HDF5Output(LayerImpl):

@@ -509,3 +509,46 @@ def test_multistream_close_shuts_pool(tmp_path):
         assert rec._pool is not None
     assert rec._pool is None
     rec.close()  # idempotent
+
+
+def test_online_uint8_plane_matches_f32():
+    """The raw uint8 plane (host resize+crop only, on-chip mean/cast) gives
+    the same predictions as the classic host-f32 plane."""
+    S = 4
+    g = _tiny_video_model(S=S, crop=224)
+    prog = Program(g, train=False)
+    data = jnp.zeros((1, S, 224, 224, 3))
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    f32 = OnlineRecognizer(prog, params, state, num_segments=S)
+    u8 = OnlineRecognizer(prog, params, state, num_segments=S, plane="uint8")
+    rng = np.random.default_rng(3)
+    for _ in range(S):
+        frame = rng.integers(0, 255, (256, 340, 3), dtype=np.uint8)
+        ref = f32.push_frame(frame)
+        out = u8.push_frame(frame)
+    assert ref is not None and out is not None
+    assert out[0] == ref[0]
+    np.testing.assert_allclose(out[1], ref[1], rtol=1e-3, atol=1e-4)
+    # the uint8 plane really stores uint8 crops host-side
+    assert u8._stream.windows[-1][0].dtype == np.uint8
+
+
+def test_multistream_uint8_plane():
+    S = 4
+    g = _tiny_video_model(S=S, crop=224)
+    prog = Program(g, train=False)
+    data = jnp.zeros((1, S, 224, 224, 3))
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    multi = MultiStreamRecognizer(prog, params, state, num_streams=2,
+                                  num_segments=S, plane="uint8")
+    single = OnlineRecognizer(prog, params, state, num_segments=S)
+    rng = np.random.default_rng(4)
+    outs = None
+    for _ in range(S):
+        f = rng.integers(0, 255, (256, 340, 3), dtype=np.uint8)
+        outs = multi.push_frames([f, f])
+        ref = single.push_frame(f)
+    assert all(o is not None for o in outs)
+    for o in outs:
+        assert o[0] == ref[0]
+        np.testing.assert_allclose(o[1], ref[1], rtol=1e-3, atol=1e-4)

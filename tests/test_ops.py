@@ -497,3 +497,43 @@ def test_contrastive_loss_reference_formula():
         jnp.asarray(a), jnp.asarray(b), jnp.asarray(y), margin=margin,
         legacy=True))
     np.testing.assert_allclose(got_legacy, ref_legacy, rtol=1e-5)
+
+
+def test_maxpool_mask_vjp_matches_select_scatter(monkeypatch):
+    """The recompute-mask VJP (ECO_POOL_MASK_VJP=1, VERDICT r3 #7) matches
+    XLA's select-and-scatter gradient, including tie routing (first match,
+    the Caffe single-argmax order) on ReLU-style zero-heavy inputs."""
+    import os
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from eco_tpu.ops.pool import pool_nd
+
+    def f2d(x):
+        return pool_nd(x, kernel=3, stride=2, pad=1, mode="max")
+
+    def f3d(x):
+        return pool_nd(x, kernel=(2, 3, 3), stride=(2, 2, 2),
+                       pad=(0, 1, 1), mode="max")
+
+    rng = np.random.default_rng(0)
+    cases = [
+        (f2d, jnp.asarray(rng.standard_normal((2, 13, 13, 4)), jnp.float32)),
+        # tie-heavy: integer-quantized relu'd values
+        (f2d, jnp.asarray(
+            np.maximum(rng.integers(-3, 4, (2, 13, 13, 4)), 0), jnp.float32)),
+        (f3d, jnp.asarray(rng.standard_normal((2, 5, 9, 9, 4)), jnp.float32)),
+    ]
+    for f, x in cases:
+        monkeypatch.delenv("ECO_POOL_MASK_VJP", raising=False)
+        y0, vjp0 = jax.vjp(f, x)
+        monkeypatch.setenv("ECO_POOL_MASK_VJP", "1")
+        y1, vjp1 = jax.vjp(f, x)
+        assert bool(jnp.all(y0 == y1))
+        g = jnp.asarray(rng.standard_normal(y0.shape), jnp.float32)
+        a, b = vjp0(g)[0], vjp1(g)[0]
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6,
+        )

@@ -298,3 +298,106 @@ def test_calibrate_takes_max_over_batches():
     params, state = prog.init(jax.random.PRNGKey(0), small)
     m = calibrate(prog, params, state, [small, big])
     assert m["conv1"] == pytest.approx(2.0)
+
+
+# -- int8 chain fusion (convert.quantize.chain_int8) -----------------------
+
+def _chain_graph():
+    """conv1 -> relu -> conv2 -> eltwise(+skip) -> relu -> conv3 (the 3D-res
+    pattern) plus an AVE-pool side branch off t1 into conv4 (the inception
+    pool-branch pattern): every chain_int8 structural case."""
+    return GraphSpec(
+        name="chain",
+        inputs={"a": (2, 8, 8, 4)},
+        layers=[
+            LayerSpec("conv1", "convolution", ("a",), ("t1",),
+                      {"num_output": 8, "kernel_size": 3, "pad": 1}),
+            LayerSpec("relu1", "relu", ("t1",), ("t1",), {}),
+            LayerSpec("conv2", "convolution", ("t1",), ("t2",),
+                      {"num_output": 8, "kernel_size": 3, "pad": 1}),
+            LayerSpec("add", "eltwise", ("t1", "t2"), ("t3",),
+                      {"operation": "sum"}),
+            LayerSpec("relu3", "relu", ("t3",), ("t3",), {}),
+            LayerSpec("conv3", "convolution", ("t3",), ("t5",),
+                      {"num_output": 8, "kernel_size": 1}),
+            LayerSpec("pool", "pooling", ("t1",), ("t4",),
+                      {"pool": "ave", "kernel_size": 2, "stride": 2}),
+            LayerSpec("conv4", "convolution", ("t4",), ("t6",),
+                      {"num_output": 8, "kernel_size": 1}),
+        ],
+    )
+
+
+def test_chain_int8_rewrites_and_matches_unchained():
+    g = _chain_graph()
+    prog = Program(g, train=False)
+    rng = np.random.default_rng(3)
+    data = {"a": jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)}
+    params, state = prog.init(jax.random.PRNGKey(0), data)
+    q1, p1, s1, r1 = quantize_for_serving(prog, params, state, [data],
+                                          fold=False, chain=False)
+    q2, p2, s2, r2 = quantize_for_serving(prog, params, state, [data],
+                                          fold=False, chain=True)
+    assert set(r1["quantized"]) == {"conv1", "conv2", "conv3", "conv4"}
+    # conv1 chains (consumers: conv2 via relu, eltwise w/ conv3 hint, AVE
+    # pool accepting); conv2 chains (consumer: eltwise, hint from conv3);
+    # conv3/conv4 outputs are graph outputs -> stay float
+    assert set(r2["chained"]) == {"conv1", "conv2"}
+    by_name = {l.name: l for l in q2.graph.layers}
+    assert by_name["conv1"].opt("out_scale") is not None
+    assert by_name["conv3"].opt("out_scale") is None
+    # conv2 consumes conv1's int8 at the exact emitted scale
+    assert by_name["conv2"].opt("act_scale") == pytest.approx(
+        by_name["conv1"].opt("out_scale"))
+    # eltwise dequants its int8 inputs in-op
+    assert by_name["add"].opt("in_scales") is not None
+    # AVE pool side branch dequants conv1's int8 in-op
+    assert by_name["pool"].opt("in_scale") == pytest.approx(
+        by_name["conv1"].opt("out_scale"))
+    o1 = np.asarray(q1.apply(p1, s1, data)[0]["t5"])
+    o2 = np.asarray(q2.apply(p2, s2, data)[0]["t5"])
+    ref = np.asarray(prog.apply(params, state, data)[0]["t5"])
+    scale = np.abs(ref).max()
+    # chaining may add at most a little extra quantization error
+    assert np.abs(o2 - ref).max() <= max(2 * np.abs(o1 - ref).max(),
+                                         0.05 * scale)
+
+
+def test_chain_int8_intermediate_tensors_are_int8():
+    """The wire format really is int8: capture the chained conv's top."""
+    g = _chain_graph()
+    prog = Program(g, train=False)
+    rng = np.random.default_rng(4)
+    data = {"a": jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)}
+    params, state = prog.init(jax.random.PRNGKey(0), data)
+    q2, p2, s2, r2 = quantize_for_serving(prog, params, state, [data],
+                                          fold=False, chain=True)
+    outs, _ = q2.apply(p2, s2, data, capture=["t2"])
+    assert outs["t2"].dtype == jnp.int8
+
+
+def test_chain_int8_respects_float_consumer_boundary():
+    """A non-quantizable consumer (softmax) keeps the producer float."""
+    g = GraphSpec(
+        name="edge",
+        inputs={"a": (2, 16)},
+        layers=[
+            LayerSpec("fc1", "innerproduct", ("a",), ("h",),
+                      {"num_output": 8}),
+            LayerSpec("fc2", "innerproduct", ("h",), ("y",),
+                      {"num_output": 4}),
+            LayerSpec("prob", "softmax", ("y",), ("p",), {}),
+        ],
+    )
+    prog = Program(g, train=False)
+    rng = np.random.default_rng(5)
+    data = {"a": jnp.asarray(rng.standard_normal((2, 16)), jnp.float32)}
+    params, state = prog.init(jax.random.PRNGKey(0), data)
+    q, p, s, r = quantize_for_serving(prog, params, state, [data],
+                                      fold=False, chain=True)
+    by_name = {l.name: l for l in q.graph.layers}
+    assert r["chained"] == ["fc1"]
+    assert by_name["fc2"].opt("out_scale") is None  # softmax consumer
+    out = np.asarray(q.apply(p, s, data)[0]["p"])
+    ref = np.asarray(prog.apply(params, state, data)[0]["p"])
+    np.testing.assert_allclose(out, ref, atol=0.05)
