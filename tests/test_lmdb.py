@@ -1,0 +1,205 @@
+"""Pure-Python LMDB reader (eco_tpu.data.lmdb) -- the classic Data layer's
+backend (reference data_layer.cpp + util/db_lmdb.cpp).
+
+The image has no lmdb library, so the fixture writes LMDB 0.9-format files
+directly (meta pages, leaf/branch pages, overflow values) following
+lmdb.h's struct layout -- the same layout the reader documents.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from eco_tpu.data.lmdb import Datum, LMDBReader, LMDBSource, parse_datum
+
+PSIZE = 4096
+PAGEHDR = 16
+P_BRANCH, P_LEAF, P_OVERFLOW, P_META = 0x01, 0x02, 0x04, 0x08
+F_BIGDATA = 0x01
+
+
+def _page_header(pgno, flags, lower, upper):
+    return struct.pack("<QHHHH", pgno, 0, flags, lower, upper)
+
+
+def _leaf_page(pgno, items):
+    """items: [(key, value, big_pgno|None)] -> one leaf page."""
+    nodes = []
+    for key, value, big in items:
+        if big is None:
+            body = struct.pack(
+                "<HHHH", len(value) & 0xFFFF, len(value) >> 16, 0, len(key)
+            ) + key + value
+        else:
+            body = struct.pack(
+                "<HHHH", len(value) & 0xFFFF, len(value) >> 16,
+                F_BIGDATA, len(key),
+            ) + key + struct.pack("<Q", big)
+        nodes.append(body)
+    page = bytearray(PSIZE)
+    upper = PSIZE
+    ptrs = []
+    for body in reversed(nodes):
+        upper -= len(body) + (len(body) & 1)  # even alignment
+        page[upper:upper + len(body)] = body
+        ptrs.append(upper)
+    ptrs.reverse()
+    lower = PAGEHDR + 2 * len(nodes)
+    page[:PAGEHDR] = _page_header(pgno, P_LEAF, lower, upper)
+    struct.pack_into(f"<{len(ptrs)}H", page, PAGEHDR, *ptrs)
+    return bytes(page)
+
+
+def _branch_page(pgno, children):
+    """children: [(first_key, child_pgno)] (first key empty by format)."""
+    page = bytearray(PSIZE)
+    upper = PSIZE
+    ptrs = []
+    bodies = []
+    for i, (key, child) in enumerate(children):
+        k = b"" if i == 0 else key
+        bodies.append(struct.pack(
+            "<HHHH", child & 0xFFFF, (child >> 16) & 0xFFFF,
+            (child >> 32) & 0xFFFF, len(k),
+        ) + k)
+    for body in reversed(bodies):
+        upper -= len(body) + (len(body) & 1)
+        page[upper:upper + len(body)] = body
+        ptrs.append(upper)
+    ptrs.reverse()
+    lower = PAGEHDR + 2 * len(children)
+    page[:PAGEHDR] = _page_header(pgno, P_BRANCH, lower, upper)
+    struct.pack_into(f"<{len(ptrs)}H", page, PAGEHDR, *ptrs)
+    return bytes(page)
+
+
+def _overflow_pages(pgno, value):
+    npages = -(-(len(value) + PAGEHDR) // PSIZE)
+    buf = bytearray(npages * PSIZE)
+    buf[:10] = struct.pack("<QH", pgno, 0)
+    struct.pack_into("<HI", buf, 10, P_OVERFLOW, npages)
+    buf[PAGEHDR:PAGEHDR + len(value)] = value
+    return bytes(buf), npages
+
+
+def _meta_page(pgno, root, entries, txnid, depth=1, last_pg=3):
+    page = bytearray(PSIZE)
+    page[:PAGEHDR] = _page_header(pgno, P_META, 0, 0)
+    off = PAGEHDR
+    struct.pack_into("<II", page, off, 0xBEEFC0DE, 1)
+    struct.pack_into("<QQ", page, off + 8, 0, PSIZE * 256)
+    # free db: md_pad carries psize
+    struct.pack_into("<IHHQQQQQ", page, off + 24,
+                     PSIZE, 0, 0, 0, 0, 0, 0, 0xFFFFFFFFFFFFFFFF)
+    # main db
+    struct.pack_into("<IHHQQQQQ", page, off + 24 + 48,
+                     0, 0, depth, 0, 1, 0, entries, root)
+    struct.pack_into("<QQ", page, off + 24 + 96, last_pg, txnid)
+    return bytes(page)
+
+
+def _datum_bytes(channels, h, w, data, label):
+    out = b""
+    out += bytes([0x08]) + _varint(channels)
+    out += bytes([0x10]) + _varint(h)
+    out += bytes([0x18]) + _varint(w)
+    out += bytes([0x22]) + _varint(len(data)) + data
+    out += bytes([0x28]) + _varint(label)
+    return out
+
+
+def _varint(v):
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            return bytes(out)
+
+
+@pytest.fixture
+def small_lmdb(tmp_path):
+    """3 records on one leaf page; record shapes 2x3x4 CHW uint8."""
+    items = []
+    arrays = []
+    for i in range(3):
+        arr = np.arange(24, dtype=np.uint8).reshape(2, 3, 4) + i
+        arrays.append(arr)
+        items.append((
+            b"%08d" % i, _datum_bytes(2, 3, 4, arr.tobytes(), i + 10), None
+        ))
+    leaf = _leaf_page(2, items)
+    f = tmp_path / "env"
+    f.mkdir()
+    (f / "data.mdb").write_bytes(
+        _meta_page(0, 2, 3, txnid=1)
+        + _meta_page(1, 2, 3, txnid=2)
+        + leaf
+    )
+    return str(f), arrays
+
+
+def test_reader_leaf(small_lmdb):
+    path, arrays = small_lmdb
+    r = LMDBReader(path)
+    assert len(r) == 3
+    items = list(r.items())
+    assert [k for k, _ in items] == [b"%08d" % i for i in range(3)]
+    datums = [parse_datum(v) for _, v in items]
+    for i, d in enumerate(datums):
+        assert (d.channels, d.height, d.width, d.label) == (2, 3, 4, i + 10)
+        np.testing.assert_array_equal(
+            d.array(), np.transpose(arrays[i], (1, 2, 0))
+        )
+    r.close()
+
+
+def test_reader_branch_and_overflow(tmp_path):
+    """Two leaves under a branch root; one value on overflow pages."""
+    big = bytes(range(256)) * 40  # 10240 bytes -> 3 overflow pages
+    datum_big = _datum_bytes(1, 64, 160, big, 7)
+    ovf, n_ovf = _overflow_pages(5, datum_big)
+    leaf_a = _leaf_page(2, [
+        (b"a", _datum_bytes(1, 1, 2, b"\x01\x02", 1), None),
+        (b"b", datum_big and _datum_bytes(1, 1, 2, b"\x03\x04", 2), None),
+    ])
+    leaf_b = _leaf_page(3, [(b"c", datum_big, 5)])
+    root = _branch_page(4, [(b"", 2), (b"c", 3)])
+    f = tmp_path / "data.mdb"
+    f.write_bytes(
+        _meta_page(0, 4, 3, txnid=5, depth=2, last_pg=5 + n_ovf)
+        + _meta_page(1, 4, 3, txnid=6, depth=2, last_pg=5 + n_ovf)
+        + leaf_a + leaf_b + root + ovf
+    )
+    r = LMDBReader(str(f))
+    items = list(r.items())
+    assert [k for k, _ in items] == [b"a", b"b", b"c"]
+    d = parse_datum(items[2][1])
+    assert d.label == 7 and d.data == big
+    r.close()
+
+
+def test_lmdb_source_batches(small_lmdb):
+    path, arrays = small_lmdb
+    src = LMDBSource(path, batch_size=2)
+    it = iter(src)
+    b1 = next(it)
+    assert b1["data"].shape == (2, 3, 4, 2)  # HWC channels-last
+    np.testing.assert_array_equal(b1["label"], [10, 11])
+    b2 = next(it)  # wraps around
+    np.testing.assert_array_equal(b2["label"], [12, 10])
+    # rank sharding: rank 1 of 2 starts one batch later and strides
+    src_r1 = LMDBSource(path, batch_size=2, rank=1, world=2)
+    np.testing.assert_array_equal(next(iter(src_r1))["label"], [12, 10])
+
+
+def test_parse_datum_float_and_encoded():
+    floats = struct.pack("<6f", *range(6))
+    buf = (bytes([0x08, 1, 0x10, 2, 0x18, 3])
+           + bytes([0x32, len(floats)]) + floats)
+    d = parse_datum(buf)
+    assert d.float_data == (0.0, 1.0, 2.0, 3.0, 4.0, 5.0)
+    assert d.array().dtype == np.float32
+    assert d.array().shape == (2, 3, 1)
