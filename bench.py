@@ -501,6 +501,7 @@ def bench_int8_infer(zoo_name="eco_lite_kinetics", batch=96, iters=10):
     return {
         "int8_videos_per_sec": round(batch / dt, 1),
         "int8_quantized_layers": len(report["quantized"]),
+        "int8_chained_layers": len(report.get("chained", [])),
         "int8_batch": batch,
     }
 

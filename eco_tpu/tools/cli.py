@@ -605,14 +605,17 @@ def cmd_quantize(args):
             for i, (name, shape) in enumerate(graph.inputs.items())
         })
 
-    qprog, qp, qs, report = quantize_for_serving(prog, params, state, batches)
+    qprog, qp, qs, report = quantize_for_serving(
+        prog, params, state, batches, chain=not args.no_chain
+    )
     save_model(args.output, qp, qs)
     graph_path = os.path.splitext(args.output)[0] + ".graph.json"
     with open(graph_path, "w") as f:
         f.write(graph_to_json(qprog.graph))
     print(
-        f"Quantized {len(report['quantized'])} layers -> {args.output} + "
-        f"{graph_path} (run with --net {graph_path})"
+        f"Quantized {len(report['quantized'])} layers "
+        f"({len(report.get('chained', []))} int8-chained) -> {args.output} "
+        f"+ {graph_path} (run with --net {graph_path})"
     )
 
 
@@ -954,6 +957,9 @@ def main(argv=None):
     sp.add_argument("--calib-batches", type=int, default=4,
                     help="calibration batches drawn from --list "
                          "(random data with a warning otherwise)")
+    sp.add_argument("--no-chain", action="store_true",
+                    help="keep per-layer float edges (skip int8 chain "
+                         "fusion between adjacent quantized layers)")
     sp.add_argument("-o", "--output", required=True)
     sp.set_defaults(fn=cmd_quantize)
 

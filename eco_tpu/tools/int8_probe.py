@@ -63,6 +63,46 @@ def mxu_ratio(n: int = 4096) -> dict:
     return out
 
 
+def conv_ratio(n: int = 1536, hw: int = 28, c: int = 96) -> dict:
+    """int8:bf16 ratio on a serving-shape conv (the inception 3x3 trunk
+    shape at b=96 x 16 segments: (1536, 28, 28, 96) -> 96 channels), the
+    op class the quantized path actually accelerates."""
+    rng = np.random.default_rng(1)
+    out = {}
+    dn = lax.conv_dimension_numbers(
+        (n, hw, hw, c), (3, 3, c, c), ("NHWC", "HWIO", "NHWC")
+    )
+
+    xb = jnp.asarray(rng.standard_normal((n, hw, hw, c)), jnp.bfloat16)
+    wb = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.1, jnp.bfloat16)
+
+    def bf16_step(a, w):
+        return lax.conv_general_dilated(
+            a, w, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn
+        ).astype(jnp.bfloat16)
+
+    tb = _timed_chain(xb, wb, bf16_step, K=8)
+    flops = 2 * n * hw * hw * 9 * c * c
+    out["conv_bf16_ms"] = round(tb * 1e3, 3)
+    out["conv_bf16_tops"] = round(flops / tb / 1e12, 1)
+
+    xi = jnp.asarray(rng.integers(-127, 128, (n, hw, hw, c)), jnp.int8)
+    wi = jnp.asarray(rng.integers(-127, 128, (3, 3, c, c)), jnp.int8)
+
+    def int8_step(a, w):
+        y = lax.conv_general_dilated(
+            a, w, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
+            preferred_element_type=jnp.int32,
+        )
+        return (y >> 10).astype(jnp.int8)
+
+    ti = _timed_chain(xi, wi, int8_step, K=8)
+    out["conv_int8_ms"] = round(ti * 1e3, 3)
+    out["conv_int8_tops"] = round(flops / ti / 1e12, 1)
+    out["int8_conv_ratio"] = round(tb / ti, 2)
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("-o", "--output", default=None)
@@ -72,6 +112,8 @@ def main(argv=None):
 
     print("devices:", jax.devices(), flush=True)
     results = mxu_ratio()
+    print(json.dumps(results), flush=True)
+    results.update(conv_ratio())
     print(json.dumps(results), flush=True)
 
     if not args.skip_e2e:
