@@ -230,7 +230,10 @@ def cmd_train(args):
             )
         axes = {"data": dp} if tp == 1 else {"data": dp, "model": tp}
         mesh = make_mesh(axes, devices=jax.devices()[:dp * tp])
-    trainer = Trainer(train_prog, cfg, test_program=test_prog, mesh=mesh)
+    trainer = Trainer(
+        train_prog, cfg, test_program=test_prog, mesh=mesh,
+        metrics_lag=0 if getattr(args, "no_overlap", False) else 1,
+    )
     ts = trainer.init_state(
         {k: v[0] for k, v in first.items()}, seed=cfg.random_seed
     )
@@ -257,9 +260,22 @@ def cmd_train(args):
 
     import itertools
 
-    ts = trainer.solve(
-        ts, itertools.chain([first], it), resume_from=args.snapshot or None
-    )
+    feed = itertools.chain([first], it)
+    if not getattr(args, "no_overlap", False):
+        # production feed: device_put batches 2 ahead so the H2D DMA runs
+        # under the chip step (metrics_lag=1 on the Trainer keeps the host
+        # loop from blocking between steps)
+        from eco_tpu.data import prefetch_to_device
+
+        if mesh is not None:
+            from eco_tpu.parallel.shard import shard_batch
+
+            feed = prefetch_to_device(
+                feed, put_fn=lambda b: shard_batch(mesh, b, batch_axis=1)
+            )
+        else:
+            feed = prefetch_to_device(feed)
+    ts = trainer.solve(ts, feed, resume_from=args.snapshot or None)
     pipe.close()
 
 
@@ -869,6 +885,11 @@ def main(argv=None):
                     help="tensor-parallel over N chips: weights/momentum "
                          "channel-sharded over a `model` mesh axis "
                          "(composes with --dp; mesh is dp x tp)")
+    sp.add_argument("--no-overlap", action="store_true",
+                    help="disable the async feed pipeline (device batch "
+                         "prefetch + one-step-lagged metric reads); loss "
+                         "display and divergence detection become exact "
+                         "per-step at the cost of serializing host and chip")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("test")

@@ -82,6 +82,7 @@ class Trainer:
         remat: Optional[str] = "auto",
         process_index: Optional[int] = None,
         mesh=None,
+        metrics_lag: int = 0,
     ):
         self.cfg = cfg
         self.train_program = train_program
@@ -148,6 +149,18 @@ class Trainer:
                 ev = ev_sharded
             self.eval_step = jax.jit(ev)
         self.log = log_fn
+        if metrics_lag not in (0, 1):
+            raise ValueError(f"metrics_lag must be 0 or 1, got {metrics_lag}")
+        # metrics_lag=1 defers the host read of step i's metrics until step
+        # i+1 has been DISPATCHED, so the host never blocks between steps:
+        # JAX's async dispatch runs step i on-chip while Python decodes and
+        # device_puts batch i+1 (pair with data.prefetch_to_device for the
+        # full overlap).  Cost: loss display / non-finite detection lag one
+        # iteration, and the last-good snapshot on divergence is unavailable
+        # (the pre-divergence TrainState was already donated to the next
+        # step).  Hooks receive the LATEST TrainState (one step ahead of the
+        # metrics they accompany).
+        self.metrics_lag = metrics_lag
         self.loss_window: collections.deque = collections.deque(
             maxlen=max(1, cfg.average_loss)
         )
@@ -172,9 +185,13 @@ class Trainer:
             ts = restore(resume_from, ts)
             self.log(f"Resumed from {resume_from} at iter {int(ts.it)}")
         rng = jax.random.PRNGKey(cfg.random_seed)
-        t_last = time.perf_counter()
-        while int(ts.it) < cfg.max_iter:
-            it = int(ts.it)
+        self._t_last = time.perf_counter()
+        # host-side iteration counter: the step increments ts.it by exactly
+        # 1, so mirroring it here avoids a device sync per loop (int(ts.it)
+        # blocks on the whole step under async dispatch)
+        it = int(ts.it)
+        pending = None  # (it, metrics) not yet read back (metrics_lag=1)
+        while it < cfg.max_iter:
             if (
                 cfg.test_interval
                 and it > 0
@@ -187,38 +204,55 @@ class Trainer:
             rng, sub = jax.random.split(rng)
             prev_ts = ts
             ts, metrics = self.step(ts, batch, sub)
-            loss_val = float(metrics["loss"])
-            if not np.isfinite(loss_val):
-                # failure detection the reference lacks (SURVEY.md section 5):
-                # snapshot the last-good state before aborting so training can
-                # resume instead of silently poisoning the weights.
-                saved = ""
-                try:
-                    if self.cfg.snapshot_prefix:
-                        snapshot(self.cfg.snapshot_prefix + "_lastgood", prev_ts, it)
-                        saved = "; last-good state snapshotted"
-                except Exception:
-                    pass  # donated buffers (sharded step) cannot be re-read
-                raise FloatingPointError(
-                    f"non-finite loss {loss_val} at iteration {it}{saved}"
-                )
-            self.loss_window.append(loss_val)
-            for hook in hooks:
-                hook(it, ts, metrics)
-            if cfg.display and it % cfg.display == 0:
-                dt = time.perf_counter() - t_last
-                t_last = time.perf_counter()
-                smoothed = float(np.mean(self.loss_window))
-                self.log(
-                    f"Iteration {it}, loss = {smoothed:.4f} "
-                    f"(lr={float(metrics['lr']):.2e}, "
-                    f"|g|={float(metrics['grad_norm']):.2f}, {dt:.2f}s)"
-                )
-            if cfg.snapshot and int(ts.it) % cfg.snapshot == 0:
+            it += 1
+            if self.metrics_lag:
+                if pending is not None:
+                    self._consume_metrics(pending[0], pending[1], ts, None, hooks)
+                pending = (it - 1, metrics)
+            else:
+                self._consume_metrics(it - 1, metrics, ts, prev_ts, hooks)
+            if cfg.snapshot and it % cfg.snapshot == 0:
                 self._snapshot(ts)
-        if cfg.snapshot and int(ts.it) % cfg.snapshot != 0:
+        if pending is not None:
+            self._consume_metrics(pending[0], pending[1], ts, None, hooks)
+        if cfg.snapshot and it % cfg.snapshot != 0:
             self._snapshot(ts)
         return ts
+
+    def _consume_metrics(self, it, metrics, ts, prev_ts, hooks):
+        """Host-side read of one step's metrics: failure detection, loss
+        window, hooks, display.  ``it`` is the pre-step iteration index the
+        metrics belong to; ``ts`` the latest TrainState (== that step's
+        result, or one step ahead under metrics_lag=1); ``prev_ts`` the
+        pre-step state if still alive (None once donated)."""
+        cfg = self.cfg
+        loss_val = float(metrics["loss"])
+        if not np.isfinite(loss_val):
+            # failure detection the reference lacks (SURVEY.md section 5):
+            # snapshot the last-good state before aborting so training can
+            # resume instead of silently poisoning the weights.
+            saved = ""
+            try:
+                if prev_ts is not None and cfg.snapshot_prefix:
+                    snapshot(cfg.snapshot_prefix + "_lastgood", prev_ts, it)
+                    saved = "; last-good state snapshotted"
+            except Exception:
+                pass  # donated buffers (sharded step) cannot be re-read
+            raise FloatingPointError(
+                f"non-finite loss {loss_val} at iteration {it}{saved}"
+            )
+        self.loss_window.append(loss_val)
+        for hook in hooks:
+            hook(it, ts, metrics)
+        if cfg.display and it % cfg.display == 0:
+            dt = time.perf_counter() - self._t_last
+            self._t_last = time.perf_counter()
+            smoothed = float(np.mean(self.loss_window))
+            self.log(
+                f"Iteration {it}, loss = {smoothed:.4f} "
+                f"(lr={float(metrics['lr']):.2e}, "
+                f"|g|={float(metrics['grad_norm']):.2f}, {dt:.2f}s)"
+            )
 
     def test(self, ts: TrainState, batches: Iterable) -> dict[str, float]:
         """Average scalar metric tops over test batches (Solver::Test)."""

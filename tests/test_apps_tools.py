@@ -552,3 +552,96 @@ def test_multistream_uint8_plane():
     for o in outs:
         assert o[0] == ref[0]
         np.testing.assert_allclose(o[1], ref[1], rtol=1e-3, atol=1e-4)
+
+
+def test_prefetch_to_device_order_and_placement():
+    """prefetch_to_device yields every batch, in order, device-resident,
+    and issues the put for batch i+size while batch i is still queued
+    (the overlap the feed pipeline exists for)."""
+    from eco_tpu.data import prefetch_to_device
+
+    puts = []
+
+    def put_fn(b):
+        puts.append(b["i"])
+        return {k: jnp.asarray(v) for k, v in b.items()}
+
+    src = ({"i": np.int32(i), "x": np.full((2, 2), i, np.float32)}
+           for i in range(5))
+    it = prefetch_to_device(src, size=2, put_fn=put_fn)
+    first = next(it)
+    # double buffering: with one batch consumed, 3 puts have been issued
+    # (2 on construction + 1 refill)
+    assert puts == [0, 1, 2]
+    got = [first] + list(it)
+    assert [int(b["i"]) for b in got] == list(range(5))
+    assert all(isinstance(b["x"], jax.Array) for b in got)
+    with pytest.raises(ValueError, match="size"):
+        next(prefetch_to_device(iter([]), size=0))
+
+
+def test_trainer_metrics_lag_matches_eager(tmp_path):
+    """metrics_lag=1 (async feed) trains bitwise-identically to the eager
+    loop and emits the same display lines; only WHEN the host reads the
+    metrics changes."""
+    from eco_tpu.data import prefetch_to_device
+
+    b = NetBuilder("lag")
+    x = b.input("data", (8, 6))
+    b.input("label", (8,))
+    y = b.fc("fc", x, 3)
+    b.layer("loss", "softmaxwithloss", (y, "label"))
+    g = b.build()
+    cfg = SolverConfig(base_lr=0.5, lr_policy="fixed", max_iter=7,
+                       iter_size=1, display=2, snapshot=0, average_loss=3)
+
+    def run(lag):
+        prog = Program(g, train=True)
+        rng = np.random.default_rng(7)
+
+        def gen():
+            while True:
+                x = rng.standard_normal((1, 8, 6)).astype(np.float32)
+                yield {"data": x,
+                       "label": (x[0] @ np.eye(6, 3)).argmax(-1)[None]
+                       .astype(np.int32)}
+
+        logs = []
+        trainer = Trainer(prog, cfg, log_fn=logs.append, metrics_lag=lag)
+        ts = trainer.init_state({"data": np.zeros((8, 6), np.float32),
+                                 "label": np.zeros((8,), np.int32)})
+        feed = prefetch_to_device(gen()) if lag else gen()
+        ts = trainer.solve(ts, feed)
+        return ts, logs
+
+    ts0, logs0 = run(0)
+    ts1, logs1 = run(1)
+    assert int(ts0.it) == int(ts1.it) == 7
+    np.testing.assert_array_equal(
+        np.asarray(ts0.params["fc"]["w"]), np.asarray(ts1.params["fc"]["w"])
+    )
+    strip = lambda ls: [l.split("(")[0] for l in ls]  # drop wall-clock part
+    assert strip(logs0) == strip(logs1) and len(logs0) == 4  # iters 0,2,4,6
+
+
+def test_trainer_metrics_lag_nan_guard():
+    """Divergence is still caught under metrics_lag=1 (one step late, no
+    last-good snapshot -- the pre-divergence state was donated)."""
+    b = NetBuilder("nanlag")
+    x = b.input("data", (4, 3))
+    b.input("label", (4,))
+    y = b.fc("fc", x, 2)
+    b.layer("loss", "softmaxwithloss", (y, "label"))
+    prog = Program(b.build(), train=True)
+    cfg = SolverConfig(base_lr=1.0, lr_policy="fixed", max_iter=5, snapshot=0)
+    trainer = Trainer(prog, cfg, log_fn=lambda *_: None, metrics_lag=1)
+    ts = trainer.init_state({"data": np.zeros((4, 3), np.float32),
+                             "label": np.zeros((4,), np.int32)})
+
+    def batches():
+        while True:
+            yield {"data": np.full((1, 4, 3), np.nan, np.float32),
+                   "label": np.zeros((1, 4), np.int32)}
+
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        trainer.solve(ts, batches())
