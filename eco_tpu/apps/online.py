@@ -185,6 +185,85 @@ class OnlineRecognizer:
         return int(np.argmax(smoothed)), smoothed
 
 
+def run_capture_loop(
+    recognizer: "OnlineRecognizer",
+    capture,
+    *,
+    class_names: Optional[Sequence[str]] = None,
+    display: bool = False,
+    max_frames: Optional[int] = None,
+    on_prediction=None,
+):
+    """The reference's interactive webcam shell
+    (online_recognition.py:50-62,99-105): read frames from ``capture``
+    (anything with ``read() -> (ok, BGR frame)``, e.g. ``cv2.VideoCapture``),
+    overlay the latest prediction with ``cv2.putText``, and show the live
+    window when ``display=True`` ('q' quits, :104-105).  Headless by
+    default -- the recognition loop is identical with the GUI off, so
+    servers and tests run the same code path the demo does.
+
+    Returns the list of (frame_index, label_index, label_text) prediction
+    ticks.  ``on_prediction(frame_idx, label_idx, text)`` fires at each
+    window tick (the reference prints/overlays there).
+    """
+    import cv2
+
+    text = ""
+    ticks = []
+    i = 0
+    while max_frames is None or i < max_frames:
+        ok, frame = capture.read()
+        if not ok or frame is None:
+            break
+        if display:
+            shown = frame.copy()
+            cv2.putText(shown, text, (10, 80), cv2.FONT_HERSHEY_SIMPLEX,
+                        0.8, (0, 255, 255), thickness=2)
+            cv2.imshow("Frames", shown)
+            if cv2.waitKey(1) & 0xFF == ord("q"):
+                break
+        res = recognizer.push_frame(frame)
+        i += 1
+        if res is not None:
+            idx, _ = res
+            label = class_names[idx] if class_names else str(idx)
+            text = "Action: " + label
+            ticks.append((i, idx, label))
+            if on_prediction is not None:
+                on_prediction(i, idx, label)
+    if display:
+        cv2.destroyAllWindows()
+    return ticks
+
+
+class _FrameDirCapture:
+    """``cv2.VideoCapture``-shaped reader over a directory of frames, so the
+    same ``run_capture_loop`` drives files and cameras alike."""
+
+    def __init__(self, path: str):
+        import os
+
+        self._dir = path
+        self._names = sorted(os.listdir(path))
+        self._i = 0
+
+    def read(self):
+        import os
+
+        import cv2
+
+        while self._i < len(self._names):
+            p = os.path.join(self._dir, self._names[self._i])
+            self._i += 1
+            img = cv2.imread(p)
+            if img is not None:
+                return True, img
+        return False, None
+
+    def release(self):
+        pass
+
+
 class MultiStreamRecognizer:
     """Many concurrent streams, one batched TPU forward per window tick.
 

@@ -636,18 +636,19 @@ def cmd_quantize(args):
 
 
 def cmd_online(args):
-    """Streaming recognition over a frame directory -- the webcam demo
-    (scripts/online_recognition/online_recognition.py) without the camera."""
+    """Streaming recognition -- the webcam demo
+    (scripts/online_recognition/online_recognition.py): frames from a
+    directory (--frames) or a live camera (--camera N), optional cv2
+    display window with the label overlay (--display, 'q' quits)."""
     import jax
     import jax.numpy as jnp
 
-    import cv2
-
     from eco_tpu.apps import OnlineRecognizer
+    from eco_tpu.apps.online import _FrameDirCapture, run_capture_loop
     from eco_tpu.runtime import Program
-    from eco_tpu.train import load_model
-    from eco_tpu.train.solver import init_train_state
 
+    if (args.frames is None) == (args.camera is None):
+        raise SystemExit("pass exactly one of --frames DIR or --camera N")
     graph = _build_graph(args, with_loss=False)
     prog = Program(graph, train=False, compute_dtype=jnp.bfloat16)
     sample = {
@@ -663,18 +664,26 @@ def cmd_online(args):
         from eco_tpu.tools.datasets import load_class_index
 
         labels = load_class_index(args.classes)
-    rec = OnlineRecognizer(prog, params, state, num_segments=args.segments)
-    frames = sorted(os.listdir(args.frames))
-    for i, name in enumerate(frames):
-        img = cv2.imread(os.path.join(args.frames, name))
-        if img is None:
-            continue
-        res = rec.push_frame(img)
-        if res is not None:
-            idx, smoothed = res
-            label = labels[idx] if labels else str(idx)
-            print(f"frame {i + 1}: prediction = {label} "
-                  f"(logit {smoothed[idx]:.3f})")
+    rec = OnlineRecognizer(
+        prog, params, state, num_segments=args.segments, plane=args.plane,
+    )
+    if args.camera is not None:
+        import cv2
+
+        cap = cv2.VideoCapture(args.camera)
+        if not cap.isOpened():
+            raise SystemExit(f"camera {args.camera} could not be opened")
+    else:
+        cap = _FrameDirCapture(args.frames)
+    try:
+        run_capture_loop(
+            rec, cap, class_names=labels, display=args.display,
+            on_prediction=lambda i, idx, label: print(
+                f"frame {i}: prediction = {label}"
+            ),
+        )
+    finally:
+        cap.release()
 
 
 def cmd_convert_imageset(args):
@@ -1030,7 +1039,17 @@ def main(argv=None):
 
     sp = sub.add_parser("online")
     common(sp)
-    sp.add_argument("--frames", required=True, help="directory of frames")
+    sp.add_argument("--frames", default=None, help="directory of frames")
+    sp.add_argument("--camera", type=int, default=None,
+                    help="live capture from cv2.VideoCapture(N) "
+                         "(the reference webcam demo)")
+    sp.add_argument("--display", action="store_true",
+                    help="show the cv2 window with the label overlay "
+                         "('q' quits); requires a GUI-capable OpenCV")
+    sp.add_argument("--plane", choices=("uint8", "f32"), default="uint8",
+                    help="uint8 (default): ship raw crops, mean/bf16 "
+                         "on-chip -- the measured-fastest full loop; "
+                         "f32: classic host-side preprocessing")
     sp.add_argument("--weights", default=None)
     sp.add_argument("--classes", default=None, help="class-name list file")
     sp.set_defaults(fn=cmd_online)

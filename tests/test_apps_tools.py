@@ -645,3 +645,67 @@ def test_trainer_metrics_lag_nan_guard():
 
     with pytest.raises(FloatingPointError, match="non-finite"):
         trainer.solve(ts, batches())
+
+
+def test_run_capture_loop_headless():
+    """The reference webcam shell (online_recognition.py:50-105) as a
+    headless loop: duck-typed capture, one prediction tick per full
+    window, label text from class_names, clean stop at stream end."""
+    from eco_tpu.apps.online import run_capture_loop
+
+    S = 4
+    g = _tiny_video_model(S=S, crop=224)
+    prog = Program(g, train=False)
+    params, state = prog.init(
+        jax.random.PRNGKey(0), {"data": jnp.zeros((1, S, 224, 224, 3))})
+    rec = OnlineRecognizer(prog, params, state, num_segments=S)
+
+    class FakeCap:
+        def __init__(self, n):
+            self.n = n
+            self.i = 0
+
+        def read(self):
+            if self.i >= self.n:
+                return False, None
+            self.i += 1
+            return True, np.full((256, 340, 3), self.i, np.uint8)
+
+    names = ["jump", "run", "swim", "dive"]
+    seen = []
+    ticks = run_capture_loop(
+        rec, FakeCap(2 * S + 1), class_names=names,
+        on_prediction=lambda i, idx, label: seen.append((i, idx, label)),
+    )
+    # 9 frames, window size 4 -> ticks at frames 4 and 8
+    assert [t[0] for t in ticks] == [S, 2 * S]
+    assert all(t[2] == names[t[1]] for t in ticks)
+    assert seen == ticks
+    # max_frames cap stops early
+    rec2 = OnlineRecognizer(prog, params, state, num_segments=S)
+    assert run_capture_loop(rec2, FakeCap(100), max_frames=S - 1) == []
+
+
+def test_cli_online_frame_dir(tmp_path, capsys):
+    """eco online --frames drives the same capture loop over a directory
+    (uint8 plane by default) and prints a prediction per window tick."""
+    import cv2
+
+    from eco_tpu.tools.cli import main
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        cv2.imwrite(str(d / ("img_%04d.jpg" % (i + 1))),
+                    rng.integers(0, 255, (256, 340, 3), dtype=np.uint8))
+    (d / "not_an_image.txt").write_text("skip me")
+    classes = tmp_path / "classes.txt"
+    classes.write_text("".join(f"c{i}\n" for i in range(400)))
+    main(["online", "--zoo", "eco_lite_kinetics", "--segments", "4",
+          "--frames", str(d), "--classes", str(classes)])
+    out = capsys.readouterr().out
+    assert "frame 4: prediction = c" in out
+    with pytest.raises(SystemExit, match="exactly one"):
+        main(["online", "--zoo", "eco_lite_kinetics", "--segments", "4",
+              "--frames", str(d), "--camera", "0"])
