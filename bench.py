@@ -278,29 +278,43 @@ def bench_train_e2e(batch=8, num_segments=16, steps=4, n_videos=24,
             float(m["loss"])
         full_dt = (time.perf_counter() - t0) / steps
 
-        # overlapped: the production `eco train` feed (round 4) --
-        # device_put dispatched 2 batches ahead + the loss read deferred
+        # overlapped: the production `eco train` feed -- async device_put
+        # dispatched ahead of the consuming step + the loss read deferred
         # one step, so host decode / H2D transfer / chip step pipeline
-        # against each other instead of summing
+        # against each other instead of summing.  SAME-RUN A/B over queue
+        # depths (VERDICT r4 weak #1): depth 1 is the production default;
+        # depth 2 (the round-4 default) keeps two DMAs in flight, which
+        # CONTEND on thin links -- the measured cause of BENCH_r04's
+        # overlap-slower-than-serial contradiction (docs/PERF_NOTES.md).
         from eco_tpu.data import prefetch_to_device
 
-        feed = prefetch_to_device(
-            (micro(pipe.next_batch()) for _ in iter(int, 1))
-        )
-        ts, pend = step_fn(ts, next(feed), key)  # prime the lag
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            ts, m = step_fn(ts, next(feed), key)
+        overlap_dt = {}
+        for depth in (1, 2):
+            feed = prefetch_to_device(
+                (micro(pipe.next_batch()) for _ in iter(int, 1)), depth
+            )
+            ts, pend = step_fn(ts, next(feed), key)  # prime the lag
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                ts, m = step_fn(ts, next(feed), key)
+                float(pend["loss"])
+                pend = m
+            overlap_dt[depth] = (time.perf_counter() - t0) / steps
             float(pend["loss"])
-            pend = m
-        overlap_dt = (time.perf_counter() - t0) / steps
-        float(pend["loss"])
+            del feed
 
         # host-only: drain the pipeline
         t0 = time.perf_counter()
         for _ in range(steps):
             pipe.next_batch()
         host_dt = (time.perf_counter() - t0) / steps
+
+        # put-only: H2D transfer rate of one resident-shape batch (the
+        # pipeline bound on a transfer-limited link)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            jax.block_until_ready(jax.device_put(first))
+        put_dt = (time.perf_counter() - t0) / steps
 
         # chip-only: repeat the step on the resident batch
         dev = jax.device_put(first)
@@ -315,8 +329,10 @@ def bench_train_e2e(batch=8, num_segments=16, steps=4, n_videos=24,
         pipe.close()
     return {
         "train_e2e_videos_per_sec": round(batch / full_dt, 1),
-        "train_e2e_overlap_videos_per_sec": round(batch / overlap_dt, 1),
+        "train_e2e_overlap_videos_per_sec": round(batch / overlap_dt[1], 1),
+        "train_e2e_overlap_q2_videos_per_sec": round(batch / overlap_dt[2], 1),
         "train_e2e_host_videos_per_sec": round(batch / host_dt, 1),
+        "train_e2e_put_videos_per_sec": round(batch / put_dt, 1),
         "train_e2e_chip_videos_per_sec": round(batch / chip_dt, 1),
         "train_e2e_batch": batch,
     }
@@ -402,6 +418,66 @@ def bench_online(num_streams=64, ticks=3, num_segments=16):
         lambda d: compiled(params, state, d), [(v,) for v in variants], iters=8
     )
     out["online_chip_videos_per_sec"] = round(num_streams / cdt, 1)
+
+    # uint8-plane chip ticks, float vs int8 (VERDICT r4 weak #3a): device-
+    # resident cropped frames through the SAME jitted preprocess+forward
+    # the online loop runs.  The int8 variant quantizes the graph and fuses
+    # input quantization into the Pallas preprocess (int8_input_rewrite),
+    # so conv1 eats wire int8 -- the serving-side effect of quantization,
+    # same-run against its float twin.
+    from eco_tpu.convert.quantize import quantize_for_serving
+    from eco_tpu.ops.pallas.preprocess import preprocess_on_device
+
+    fr = [
+        jax.block_until_ready(jax.device_put(
+            rng.integers(0, 256, (num_streams, num_segments, 224, 224, 3),
+                         np.uint8)
+        ))
+        for _ in range(2)
+    ]
+    zeros = jnp.zeros((num_streams,), jnp.int32)
+    nomirror = jnp.zeros((num_streams,), bool)
+
+    def u8_fwd(pr, scale):
+        @jax.jit
+        def f(params, state, frames):
+            clips = preprocess_on_device(
+                frames, zeros, zeros, nomirror, crop=224,
+                out_dtype=jnp.bfloat16, act_scale=scale,
+            )
+            outs, _ = pr.apply(params, state, {"data": clips})
+            return outs["probs"]
+        return f
+
+    f_float = u8_fwd(prog, None).lower(params, state, fr[0]).compile()
+    fdt = _pipelined_time(
+        lambda d: f_float(params, state, d), [(v,) for v in fr], iters=8
+    )
+    out["online_chip_u8_videos_per_sec"] = round(num_streams / fdt, 1)
+    _note("online: int8 quantize")
+
+    @jax.jit
+    def calib_clips(frames):
+        return preprocess_on_device(
+            frames, zeros, zeros, nomirror, crop=224, out_dtype=jnp.float32,
+        )
+
+    qprog, qp, qs, _ = quantize_for_serving(
+        prog, params, state, [{"data": calib_clips(fr[0])}], fold=False,
+        compute_dtype=jnp.bfloat16,
+    )
+    from eco_tpu.convert.quantize import int8_input_rewrite
+    from eco_tpu.runtime import Program as _Program
+
+    qg, in_scale = int8_input_rewrite(qprog.graph)
+    if in_scale is not None:
+        qprog = _Program(qg, train=False, compute_dtype=jnp.bfloat16)
+    f_int8 = u8_fwd(qprog, in_scale).lower(qp, qs, fr[0]).compile()
+    qdt = _pipelined_time(
+        lambda d: f_int8(qp, qs, d), [(v,) for v in fr], iters=8
+    )
+    out["online_chip_int8_videos_per_sec"] = round(num_streams / qdt, 1)
+    out["online_int8_input_plane"] = in_scale is not None
     return out
 
 
@@ -474,7 +550,8 @@ def bench_preprocess_kernel(n=8, s=16, hw=(256, 340), crop=224, iters=128,
     }
 
 
-def bench_int8_infer(zoo_name="eco_lite_kinetics", batch=96, iters=10):
+def bench_int8_infer(zoo_name="eco_lite_kinetics", batch=96, iters=10,
+                     prefix="int8"):
     """int8 post-training-quantized serving throughput vs the bf16 path.
 
     w8a8: per-channel int8 weights, calibrated per-tensor activation scales
@@ -521,12 +598,12 @@ def bench_int8_infer(zoo_name="eco_lite_kinetics", batch=96, iters=10):
     dt = _pipelined_time(
         lambda d: compiled(qp, qs, d), [(v,) for v in variants], iters
     )
-    _note(f"int8: timed {batch / dt:.1f} v/s")
+    _note(f"{prefix}: timed {batch / dt:.1f} v/s")
     return {
-        "int8_videos_per_sec": round(batch / dt, 1),
-        "int8_quantized_layers": len(report["quantized"]),
-        "int8_chained_layers": len(report.get("chained", [])),
-        "int8_batch": batch,
+        f"{prefix}_videos_per_sec": round(batch / dt, 1),
+        f"{prefix}_quantized_layers": len(report["quantized"]),
+        f"{prefix}_chained_layers": len(report.get("chained", [])),
+        f"{prefix}_batch": batch,
     }
 
 
@@ -741,6 +818,22 @@ def main():
                     )
             except Exception as e:
                 extra["eco_full_infer_error"] = repr(e)
+        if not _over_budget("eco_full_int8"):
+            # same-run contrast with the float ECO-Full row above
+            # (VERDICT r4 weak #3b: int8 beyond offline ECO-Lite)
+            try:
+                _note("eco_full int8 bench")
+                r8f = bench_int8_infer(
+                    "eco_full_kinetics", batch=48, prefix="eco_full_int8"
+                )
+                extra.update(r8f)
+                base_f = extra.get("eco_full_infer_videos_per_sec", 0)
+                if base_f:
+                    extra["eco_full_int8_speedup_vs_bf16"] = round(
+                        r8f["eco_full_int8_videos_per_sec"] / base_f, 2
+                    )
+            except Exception as e:
+                extra["eco_full_int8_error"] = repr(e)
         if not _over_budget("preprocess_kernel_study"):
             try:
                 _note("preprocess kernel A/B")

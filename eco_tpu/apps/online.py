@@ -125,6 +125,20 @@ class OnlineRecognizer:
             if interpret is None:  # Mosaic kernels need interpret off-TPU
                 interpret = jax.default_backend() != "tpu"
 
+            # int8-quantized graph: fuse input quantization into the
+            # preprocess kernel and feed conv1 wire int8 (serving.py's
+            # UInt8Server does the same; no-op on float graphs)
+            from eco_tpu.convert.quantize import int8_input_rewrite
+
+            g2, in_scale = int8_input_rewrite(program.graph)
+            if in_scale is not None:
+                from eco_tpu.runtime.executor import Program
+
+                program = Program(
+                    g2, train=False, compute_dtype=program.compute_dtype
+                )
+                self.program = program
+
             @jax.jit
             def fwd(params, state, data):
                 n = data.shape[0]
@@ -133,6 +147,7 @@ class OnlineRecognizer:
                     data, zeros, zeros, jnp.zeros((n,), bool),
                     crop=crop_size, mean=self.mean, interpret=interpret,
                     out_dtype=program.compute_dtype or jnp.float32,
+                    act_scale=in_scale,
                 )
                 outs, _ = program.apply(params, state, {"data": clips})
                 return outs[self.output]

@@ -42,9 +42,11 @@ from jax import export as jexport
 
 
 def _crop_normalize_xla(frames_u8, h_off, w_off, mirror, *, crop, mean,
-                        out_dtype):
+                        out_dtype, act_scale=None):
     """Portable (pure-XLA) twin of ops.pallas.preprocess.preprocess_on_device:
-    uint8 (N, S, H, W, 3) + per-video crop offsets/mirror -> model clips."""
+    uint8 (N, S, H, W, 3) + per-video crop offsets/mirror -> model clips.
+    ``act_scale`` emits int8 clips quantized at that scale (the int8 input
+    plane of quantized artifacts, convert.quantize.int8_input_rewrite)."""
     n, s, h, w, c = frames_u8.shape
 
     def one_video(frames, ho, wo):  # (S, H, W, 3)
@@ -54,6 +56,9 @@ def _crop_normalize_xla(frames_u8, h_off, w_off, mirror, *, crop, mean,
         return win.astype(jnp.float32) - jnp.asarray(mean, jnp.float32)
 
     clips = jax.vmap(one_video)(frames_u8, h_off, w_off)
+    if act_scale is not None:
+        clips = jnp.clip(jnp.round(clips / act_scale), -127, 127)
+        out_dtype = jnp.int8
     flipped = clips[:, :, :, ::-1, :]
     return jnp.where(
         mirror[:, None, None, None, None], flipped, clips
@@ -118,11 +123,22 @@ def export_serving(
                 f"frame_hw {frame_hw} smaller than crop {crop}: the baked "
                 "preprocess crops a fixed window from each frame"
             )
+        # quantized graph: bake the int8 input plane into the artifact's
+        # preprocess (no-op on float graphs)
+        from eco_tpu.convert.quantize import int8_input_rewrite
+
+        g2, in_scale = int8_input_rewrite(program.graph)
+        if in_scale is not None:
+            from eco_tpu.runtime.executor import Program
+
+            program = Program(
+                g2, train=False, compute_dtype=program.compute_dtype
+            )
 
         def fn(frames_u8, h_off, w_off, mirror):
             clips = _crop_normalize_xla(
                 frames_u8, h_off, w_off, mirror,
-                crop=crop, mean=mean, out_dtype=dtype,
+                crop=crop, mean=mean, out_dtype=dtype, act_scale=in_scale,
             )
             outs, _ = program.apply(params, state, {"data": clips})
             return outs[out_name]

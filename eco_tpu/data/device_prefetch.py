@@ -9,8 +9,18 @@ is the missing third stage of the feed pipeline:
 
     decode/augment threads (VideoPipeline) -> prefetch_to_device -> step
 
-Keep ``size`` small (default 2 = classic double buffering): each in-flight
-batch pins both a host staging copy and an HBM destination buffer.
+``size`` is the number of batches in flight ahead of the consumer.  The
+default is 1, which already achieves FULL overlap: ``device_put`` is async,
+so while batch i's DMA runs the generator decodes batch i+1 and the chip
+executes step i-1 -- decode, transfer and compute pipeline three-deep with
+a single queue slot.  Deeper queues add no bandwidth (one transfer engine)
+but DO add contention: on a thin host<->device link the round-5 A/B
+measured, per step on the same run, 984 ms at size=1 vs 1087 ms at size=2
+vs 1154 ms at size=3 (serial loop: 2005 ms) -- concurrent 33 MB DMAs
+interleave and all finish later.  That contention is exactly why round 4's
+size=2 feed benched 32% SLOWER than the serial loop on a degraded relay
+(BENCH_r04; see docs/PERF_NOTES.md).  Each in-flight batch also pins a host
+staging copy and an HBM destination buffer.
 """
 
 from __future__ import annotations
@@ -23,7 +33,7 @@ import jax
 
 def prefetch_to_device(
     it: Iterable,
-    size: int = 2,
+    size: int = 1,
     *,
     put_fn: Optional[Callable[[Any], Any]] = None,
 ) -> Iterator:

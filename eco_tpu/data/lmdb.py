@@ -225,6 +225,15 @@ class LMDBSource:
     rank sharding by cursor offset like every other source here.  Emits
     {"data": (N, H, W, C) uint8, "label": (N,) int32} channels-last
     batches.
+
+    STREAMING (round 5): the reference iterates a bounded-memory LMDB
+    cursor precisely because these datasets exceed host RAM (db_lmdb.cpp
+    Next()); this source mirrors that.  Only the records a batch consumes
+    are decoded; records skipped by the rank-sharding cursor stride advance
+    the B+-tree walk without parsing, and wrap-around rewinds the walk (the
+    cursor's MDB_FIRST reset) instead of caching the decoded dataset.
+    Memory stays O(batch_size), independent of database size; the mmap
+    behind the walk is file-backed page cache the OS can evict.
     """
 
     def __init__(self, path: str, *, batch_size: int, rank: int = 0,
@@ -233,28 +242,30 @@ class LMDBSource:
         self.batch_size = batch_size
         self.rank = rank
         self.world = world
-        self._records = None  # lazily decoded and cached
 
-    def _all(self):
-        if self._records is None:
-            self._records = [
-                (d.array(), d.label) for d in self.reader.datums()
-            ]
-            if not self._records:
+    def _values(self) -> Iterator[bytes]:
+        """Endless raw Datum-value stream in cursor order, rewinding at the
+        end of the database."""
+        while True:
+            n = 0
+            for _, v in self.reader.items():
+                yield v
+                n += 1
+            if n == 0:
                 raise ValueError("empty LMDB database")
-        return self._records
 
     def __iter__(self):
-        recs = self._all()
-        cursor = self.rank * self.batch_size
+        vals = self._values()
+        for _ in range(self.rank * self.batch_size):
+            next(vals)  # other ranks' records: advance, don't decode
         while True:
             imgs, labels = [], []
             for _ in range(self.batch_size):
-                img, label = recs[cursor % len(recs)]
-                imgs.append(img)
-                labels.append(label)
-                cursor += 1
-            cursor += (self.world - 1) * self.batch_size
+                d = parse_datum(next(vals))
+                imgs.append(d.array())
+                labels.append(d.label)
+            for _ in range((self.world - 1) * self.batch_size):
+                next(vals)
             yield {
                 "data": np.stack(imgs),
                 "label": np.asarray(labels, np.int32),

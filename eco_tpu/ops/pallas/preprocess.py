@@ -34,7 +34,9 @@ _SUB = 8     # sublane tile for the row axis
 _LANE = 128  # lane tile (bytes) for the W*3 axis
 
 
-@functools.partial(jax.jit, static_argnames=("crop", "out_dtype", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("crop", "out_dtype", "interpret", "act_scale")
+)
 def crop_normalize(
     frames: jax.Array,  # (T, H, W*3) uint8, H % 8 == 0 not required
     offsets: jax.Array,  # (T, 2) int32: (h_off, w_off_bytes = w_off*3)
@@ -43,6 +45,7 @@ def crop_normalize(
     crop: int,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
+    act_scale: float | None = None,
 ):
     t, h, w3 = frames.shape
     rows = crop + _SUB
@@ -87,7 +90,14 @@ def crop_normalize(
         window = pltpu.roll(window, (rows - (h0 - h0a)) % rows, 0)
         window = pltpu.roll(window, (cols - (w0 - w0a)) % cols, 1)
         patch = window[0:crop, 0:crop * 3]
-        out_ref[0] = (patch - mean_ref[...]).astype(out_ref.dtype)
+        y = patch - mean_ref[...]
+        if act_scale is not None:
+            # fused input quantization (int8 serving plane): identical math
+            # to ops.quant.quantize_act, so the consuming q-layer's exact
+            # dequant at act_scale holds.  f32 -> int8 widens through int32
+            # (Mosaic has no direct narrow cast, mirroring the load path).
+            y = jnp.clip(jnp.round(y / act_scale), -127, 127).astype(jnp.int32)
+        out_ref[0] = y.astype(out_ref.dtype)
 
     return pl.pallas_call(
         kernel,
@@ -107,10 +117,20 @@ def preprocess_on_device(
     mean=(104.0, 117.0, 123.0),
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
+    act_scale: float | None = None,
 ):
-    """uint8 frames + per-video augment decisions -> model-ready clips."""
+    """uint8 frames + per-video augment decisions -> model-ready clips.
+
+    ``act_scale`` set -> the kernel emits int8 clips quantized at that
+    scale (``clip(round((x - mean)/s))``): the serving plane for graphs
+    whose first conv is int8-quantized (convert.quantize.int8_input_rewrite)
+    feeds conv1 directly, skipping both the bf16 HBM round trip and the
+    standalone input-quantize pass.
+    """
     n, s, h, w, c = frames_u8.shape
     assert c == 3
+    if act_scale is not None:
+        out_dtype = jnp.int8
     flat = frames_u8.reshape(n * s, h, w * 3)
     # per-frame offsets = per-video offsets replicated over segments
     offs = jnp.stack(
@@ -120,6 +140,7 @@ def preprocess_on_device(
     out = crop_normalize(
         flat, offs, mean_row, crop=crop, out_dtype=out_dtype,
         interpret=interpret,
+        act_scale=float(act_scale) if act_scale is not None else None,
     )
     out = out.reshape(n, s, crop, crop, 3)
     flipped = out[:, :, :, ::-1, :]

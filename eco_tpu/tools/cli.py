@@ -262,19 +262,24 @@ def cmd_train(args):
 
     feed = itertools.chain([first], it)
     if not getattr(args, "no_overlap", False):
-        # production feed: device_put batches 2 ahead so the H2D DMA runs
-        # under the chip step (metrics_lag=1 on the Trainer keeps the host
-        # loop from blocking between steps)
+        # production feed: device_put dispatched ahead of the consuming
+        # step so decode / H2D DMA / chip compute pipeline (metrics_lag=1
+        # on the Trainer keeps the host loop from blocking between steps).
+        # Depth 1 is the measured optimum -- async puts already overlap
+        # fully, and deeper queues CONTEND on thin links (round-5 A/B,
+        # docs/PERF_NOTES.md; --prefetch overrides for experiments).
         from eco_tpu.data import prefetch_to_device
 
+        depth = getattr(args, "prefetch", 1)
         if mesh is not None:
             from eco_tpu.parallel.shard import shard_batch
 
             feed = prefetch_to_device(
-                feed, put_fn=lambda b: shard_batch(mesh, b, batch_axis=1)
+                feed, depth,
+                put_fn=lambda b: shard_batch(mesh, b, batch_axis=1),
             )
         else:
-            feed = prefetch_to_device(feed)
+            feed = prefetch_to_device(feed, depth)
     ts = trainer.solve(ts, feed, resume_from=args.snapshot or None)
     pipe.close()
 
@@ -776,6 +781,45 @@ def cmd_aot(args):
         graph, train=False,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
     )
+    if getattr(args, "int8", False):
+        # post-training int8 quantization baked into the artifact: the
+        # exported StableHLO carries int8 weights + int8 MXU convs (and,
+        # with --uint8, the int8 input plane fused into the baked
+        # preprocess).  Caffe wire export of int8 stays rejected
+        # (convert/write.py); StableHLO is the quantized deploy format.
+        from eco_tpu.convert.quantize import quantize_for_serving
+
+        batches = []
+        dcfg = _data_cfg_from_graph(graph, "test", args.list, args)
+        if args.list and dcfg is not None:
+            pipe = _make_pipeline(args, dcfg, train=False, seed=0)
+            for _ in range(args.calib_batches):
+                b = pipe.next_batch()
+                batches.append({
+                    k: jnp.asarray(v) for k, v in b.items()
+                    if not graph.inputs or k in graph.inputs
+                })
+            pipe.close()
+        else:
+            print("WARNING: no --list given; calibrating on random data")
+            import jax
+
+            if not graph.inputs:
+                raise SystemExit("graph declares no inputs; pass --list")
+            rng = jax.random.PRNGKey(0)
+            batches.append({
+                name: 60.0 * jax.random.normal(
+                    jax.random.fold_in(rng, i), shape, jnp.float32
+                )
+                for i, (name, shape) in enumerate(graph.inputs.items())
+            })
+        prog, params, state, qreport = quantize_for_serving(
+            prog, params, state, batches,
+            compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        )
+        graph = prog.graph
+        print(f"Quantized {len(qreport['quantized'])} layers "
+              f"({len(qreport['chained'])} int8-chained) for export")
     # spatial size comes from the graph's declared input, not a flag
     shape = graph.inputs.get("data")
     crop = shape[2] if shape is not None and len(shape) == 5 else 224
@@ -818,6 +862,7 @@ def cmd_aot(args):
         # contract (subtract before feeding) otherwise
         "platforms": list(exported.platforms),
         "bf16": args.bf16,
+        "int8": bool(getattr(args, "int8", False)),
         "classes": _read_class_names(args.classes) if args.classes else None,
     }
     with open(args.output + ".json", "w") as f:
@@ -849,6 +894,29 @@ def cmd_upgrade(args):
     with open(args.output, "w") as f:
         f.write(format_prototxt(upgraded))
     print(f"Wrote upgraded NetParameter text proto to {args.output}")
+
+
+def cmd_plot(args):
+    """Parse a Trainer log into the reference's train/test tables and
+    render the training curves (tools/extra parse_log.sh +
+    plot_training_log.py.example parity)."""
+    from eco_tpu.tools.logparse import parse_log, plot_curves, write_tables
+
+    with open(args.log) as f:
+        parsed = parse_log(f.read())
+    if not parsed.train["iters"] and not parsed.test["iters"]:
+        raise SystemExit(
+            f"{args.log}: no Trainer 'Iteration N, loss = ...' or "
+            "'Test: ...' lines found"
+        )
+    tr, te = write_tables(args.log, parsed)
+    print(f"wrote {tr} ({len(parsed.train['iters'])} rows), "
+          f"{te} ({len(parsed.test['iters'])} rows)")
+    if args.output:
+        fields = tuple(args.fields.split(",")) if args.fields else (
+            "loss", "lr", "accuracy", "accuracy_top5")
+        plot_curves(parsed, args.output, x_axis=args.x_axis, fields=fields)
+        print(f"wrote {args.output}")
 
 
 def cmd_draw(args):
@@ -899,6 +967,11 @@ def main(argv=None):
                          "prefetch + one-step-lagged metric reads); loss "
                          "display and divergence detection become exact "
                          "per-step at the cost of serializing host and chip")
+    sp.add_argument("--prefetch", type=int, default=1,
+                    help="device-feed queue depth (batches in flight ahead "
+                         "of the step). 1 = full overlap (measured optimum; "
+                         "deeper queues contend for transfer bandwidth on "
+                         "thin links -- docs/PERF_NOTES.md)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("test")
@@ -1015,6 +1088,13 @@ def main(argv=None):
     sp.add_argument("--uint8", action="store_true",
                     help="bake the uint8 crop/mean preprocess into the "
                          "artifact (raw resized frames + offsets in)")
+    sp.add_argument("--int8", action="store_true",
+                    help="post-training int8 quantize before lowering: "
+                         "int8 weights + int8 MXU convs in the artifact "
+                         "(calibrates on --list batches, else random); "
+                         "with --uint8 the input plane is int8 too")
+    sp.add_argument("--calib-batches", type=int, default=4,
+                    help="--int8 calibration batch count from --list")
     sp.add_argument("--frame-h", type=int, default=256)
     sp.add_argument("--frame-w", type=int, default=340)
     sp.add_argument("--platforms", default="tpu,cpu",
@@ -1031,6 +1111,21 @@ def main(argv=None):
                          "sidecar (<output>.json)")
     sp.add_argument("-o", "--output", required=True)
     sp.set_defaults(fn=cmd_aot)
+
+    sp = sub.add_parser(
+        "plot",
+        help="parse a training log into <log>.train/<log>.test tables and "
+             "plot loss/lr/accuracy curves (tools/extra parity)",
+    )
+    sp.add_argument("log", help="Trainer log file (eco train output)")
+    sp.add_argument("-o", "--output", default=None,
+                    help="curve image (png/svg/pdf); tables alone if unset")
+    sp.add_argument("--x-axis", choices=["iters", "seconds"],
+                    default="iters")
+    sp.add_argument("--fields", default=None,
+                    help="comma list of curves (default loss,lr,accuracy"
+                         ",accuracy_top5)")
+    sp.set_defaults(fn=cmd_plot)
 
     sp = sub.add_parser("draw")
     common(sp)

@@ -180,6 +180,15 @@ class Trainer:
         resume_from: Optional[str] = None,
         hooks: Iterable[Callable] = (),
     ) -> TrainState:
+        """Run the training loop.
+
+        ``hooks``: callables ``hook(it, ts, metrics)`` invoked once per
+        consumed step.  ``it`` and ``metrics`` always belong to the same
+        step; under ``metrics_lag=1`` (the ``eco train`` default) ``ts`` is
+        the TrainState one step AHEAD of them -- hooks that snapshot or log
+        state keyed by iteration must key on ``it``, not ``int(ts.it)``.
+        With ``metrics_lag=0`` all three are step-consistent.
+        """
         cfg = self.cfg
         if resume_from:
             ts = restore(resume_from, ts)
@@ -212,6 +221,13 @@ class Trainer:
             else:
                 self._consume_metrics(it - 1, metrics, ts, prev_ts, hooks)
             if cfg.snapshot and it % cfg.snapshot == 0:
+                # flush the lagged metrics BEFORE writing: the non-finite
+                # guard in _consume_metrics must precede any snapshot write,
+                # or a NaN loss at a snapshot boundary would persist poisoned
+                # weights that a later resume silently restores
+                if pending is not None:
+                    self._consume_metrics(pending[0], pending[1], ts, None, hooks)
+                    pending = None
                 self._snapshot(ts)
         if pending is not None:
             self._consume_metrics(pending[0], pending[1], ts, None, hooks)

@@ -209,6 +209,58 @@ def test_cli_aot(tmp_path, prog_and_weights):
     )
 
 
+def test_cli_aot_int8(tmp_path, prog_and_weights):
+    """eco aot --int8: PTQ baked into the artifact (VERDICT r4 weak #3c).
+    With --uint8 the baked preprocess quantizes on-device and feeds conv1
+    wire int8 (int8_input_rewrite); the artifact still takes raw uint8
+    frames and tracks the float program closely."""
+    prog, params, state, data = prog_and_weights
+    import json
+
+    from eco_tpu.spec.graph import graph_to_json
+    from eco_tpu.tools.cli import main
+    from eco_tpu.train.checkpoint import save_model
+
+    gpath = tmp_path / "mini.graph.json"
+    gpath.write_text(graph_to_json(prog.graph))
+    wpath = str(tmp_path / "mini.npz")
+    save_model(wpath, params, state)
+    out = str(tmp_path / "mini_int8.stablehlo")
+    main([
+        "aot", "--net", str(gpath), "--weights", wpath,
+        "--batch", "2", "--segments", "4", "--no-optimize",
+        "--platforms", "cpu", "--uint8", "--frame-h", "20", "--frame-w",
+        "24", "--mean", "0,0,0", "--int8", "-o", out,
+    ])
+    meta = json.load(open(out + ".json"))
+    assert meta["int8"] is True
+
+    serve = load_serving_artifact(out)
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (2, 4, 20, 24, 3), dtype=np.uint8)
+    zeros = np.zeros(2, np.int32)
+    got = np.asarray(serve(frames, zeros, zeros, np.zeros(2, bool)))
+
+    # reproduce the CLI's quantization (random calib is seeded) and check
+    # the artifact IS that quantized program: the baked int8 input plane is
+    # bit-identical to the q-layer's own input quantize, so feeding the
+    # qprog float clips must match the artifact's uint8-frames output
+    import jax
+
+    from eco_tpu.convert.quantize import quantize_for_serving
+
+    calib = {
+        name: 60.0 * jax.random.normal(
+            jax.random.fold_in(jax.random.PRNGKey(0), i), shape, jnp.float32
+        )
+        for i, (name, shape) in enumerate(prog.graph.inputs.items())
+    }
+    qprog, qp, qs, _ = quantize_for_serving(prog, params, state, [calib])
+    clips = frames[:, :, :16, :16, :].astype(np.float32)
+    want, _ = qprog.apply(qp, qs, {"data": jnp.asarray(clips)})
+    np.testing.assert_allclose(got, np.asarray(want["probs"]), atol=1e-5)
+
+
 def test_cli_aot_mean_flag_baked_into_uint8(tmp_path, prog_and_weights):
     """--mean overrides the preprocess mean baked into --uint8 artifacts
     and is recorded in the sidecar (flow nets use 128, not the BGR

@@ -178,6 +178,84 @@ def test_uint8_server_runs_quantized_program():
     np.testing.assert_allclose(ref, out, atol=2e-2)
 
 
+def test_int8_input_rewrite():
+    """Graphs whose input feeds (through layout ops) only quantized layers
+    get an input scale; float or mixed consumers return None."""
+    from eco_tpu.convert.quantize import int8_input_rewrite
+
+    g = _small_video_graph(with_loss=False)
+    prog = Program(g, train=False)
+    rng = np.random.default_rng(12)
+    data = jnp.asarray(rng.standard_normal((8, 4, 16, 16, 3)) * 100,
+                       jnp.float32)
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    qprog, qp, qs, _ = quantize_for_serving(prog, params, state,
+                                            [{"data": data}])
+    g2, scale = int8_input_rewrite(qprog.graph)
+    assert scale is not None and scale > 0
+    conv1 = next(l for l in g2.layers if l.name == "conv1")
+    assert conv1.type == "qconvolution"
+    assert conv1.opt("act_scale") == pytest.approx(scale)
+    # float graph: no quantized consumer -> None
+    gf, sf = int8_input_rewrite(g)
+    assert sf is None and gf is g
+    # mixed: input also consumed by a float layer -> unsound, None
+    mixed = GraphSpec(
+        name="mixed", inputs=dict(qprog.graph.inputs),
+        layers=list(qprog.graph.layers) + [
+            LayerSpec("peek", "softmax", ("data",), ("peeked",), {}),
+        ],
+    )
+    _, sm = int8_input_rewrite(mixed)
+    assert sm is None
+
+
+def test_uint8_server_int8_input_plane_exact():
+    """The fused kernel quantization (preprocess act_scale) is bit-identical
+    to the q-layer's own input quantize: int8_input=True/False servers agree
+    exactly at f32 compute, and the wire into conv1 really is int8."""
+    from eco_tpu.apps import UInt8Server
+    from eco_tpu.ops.pallas.preprocess import preprocess_on_device
+    from eco_tpu.ops.quant import quantize_act
+
+    g = _small_video_graph(with_loss=False)
+    prog = Program(g, train=False)
+    rng = np.random.default_rng(13)
+    crop = 16
+    frames = rng.integers(0, 256, (4, 4, 24, 28, 3), dtype=np.uint8)
+    sample = jnp.zeros((4, 4, crop, crop, 3), jnp.float32)
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": sample})
+    calib = jnp.asarray(
+        rng.standard_normal((4, 4, crop, crop, 3)) * 120, jnp.float32
+    )
+    qprog, qp, qs, _ = quantize_for_serving(prog, params, state,
+                                            [{"data": calib}])
+    s_off = UInt8Server(qprog, qp, qs, crop=crop, interpret=True,
+                        int8_input=False)
+    s_on = UInt8Server(qprog, qp, qs, crop=crop, interpret=True)
+    assert s_on._in_scale is not None and s_off._in_scale is None
+    np.testing.assert_array_equal(
+        np.asarray(s_off(jnp.asarray(frames))),
+        np.asarray(s_on(jnp.asarray(frames))),
+    )
+    # kernel emit parity with ops.quant.quantize_act on the float clips
+    n = frames.shape[0]
+    zeros = jnp.zeros((n,), jnp.int32)
+    mirror = jnp.asarray([True, False, True, False])
+    f32 = preprocess_on_device(
+        jnp.asarray(frames), zeros, zeros, mirror, crop=crop,
+        out_dtype=jnp.float32, interpret=True,
+    )
+    q = preprocess_on_device(
+        jnp.asarray(frames), zeros, zeros, mirror, crop=crop,
+        interpret=True, act_scale=s_on._in_scale,
+    )
+    assert q.dtype == jnp.int8
+    np.testing.assert_array_equal(
+        np.asarray(q), np.asarray(quantize_act(f32, s_on._in_scale))
+    )
+
+
 def test_quantized_program_tensor_parallel():
     """int8 weights channel-shard over a `model` axis like float ones:
     w (.., Cout) and w_scale (Cout,) pick up consistent shardings and the
