@@ -1,0 +1,89 @@
+"""Classic ``Data``-layer pipeline: LMDB/LevelDB Datum databases feeding
+the trainer/test loop (reference ``src/caffe/layers/data_layer.cpp``:
+cursor -> DataTransformer -> prefetched top blobs).
+
+``DBDataConfig`` is the parsed ``data_param`` + ``transform_param`` of a
+``Data`` layer; ``DBPipeline`` exposes the same ``next_batch()/close()``
+surface as :class:`~eco_tpu.data.pipeline.VideoPipeline`, so unmodified
+classic-Caffe prototxts (``backend: LMDB`` or ``LEVELDB``) run through
+``eco train``/``eco test`` exactly like VideoData graphs.
+
+Transform semantics (data_transformer.cpp classic path): TRAIN = one
+random crop + random mirror per sample; TEST = center crop, no mirror;
+then mean subtraction and scale.  ``crop_size: 0`` means no crop (e.g.
+CIFAR-shaped records).  Output is channels-last float32 ``(N, H, W, C)``
+plus int32 labels -- the executor's layout policy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from eco_tpu.data.transform import TransformConfig, transform_stack
+
+
+@dataclasses.dataclass
+class DBDataConfig:
+    source: str
+    batch_size: int = 8
+    backend: Optional[str] = None  # "lmdb" | "leveldb" | None = sniff
+    transform: TransformConfig = dataclasses.field(
+        default_factory=lambda: TransformConfig(
+            crop_size=0, mirror=False, fix_crop=False, more_fix_crop=False,
+            multi_scale=False, mean_values=(0.0, 0.0, 0.0),
+        )
+    )
+    raw: bool = False  # classic Data plane has no raw-uint8 mode
+
+
+class DBPipeline:
+    """Streaming batches from a Datum database with Caffe's classic
+    transform; rank sharding by cursor offset (base_data_layer.cpp)."""
+
+    def __init__(self, cfg: DBDataConfig, *, train: bool, seed: int = 0,
+                 rank: int = 0, world: int = 1):
+        from eco_tpu.data.leveldb import LevelDBSource, open_db
+        from eco_tpu.data.lmdb import LMDBReader, LMDBSource
+
+        self.cfg = cfg
+        self.train = train
+        self._rng = np.random.default_rng(seed + rank)
+        backend = cfg.backend
+        if backend is None:
+            backend = (
+                "lmdb" if isinstance(open_db(cfg.source), LMDBReader)
+                else "leveldb"
+            )
+        src_cls = {"lmdb": LMDBSource, "leveldb": LevelDBSource}[
+            backend.lower()
+        ]
+        self._it = iter(src_cls(
+            cfg.source, batch_size=cfg.batch_size, rank=rank, world=world
+        ))
+
+    def next_batch(self) -> dict:
+        raw = next(self._it)
+        tc = self.cfg.transform
+        imgs = raw["data"]
+        if tc.crop_size:
+            out = np.stack([
+                transform_stack(
+                    img[None].astype(np.uint8), tc,
+                    train=self.train, rng=self._rng,
+                )[0]
+                for img in imgs
+            ])
+        else:
+            out = imgs.astype(np.float32)
+            if tc.mirror and self.train:
+                flip = self._rng.integers(0, 2, len(out)).astype(bool)
+                out[flip] = out[flip, :, ::-1]
+            out = (out - np.asarray(tc.mean_values[:out.shape[-1]],
+                                    np.float32)) * tc.scale
+        return {"data": out, "label": raw["label"]}
+
+    def close(self):
+        self._it = None

@@ -479,7 +479,7 @@ def _lower_layer(layer: dict) -> LayerSpec:
         opts["loss_weight"] = layer["loss_weight"]
     if ltype == "Accuracy" and "accuracy_param" in layer:
         opts.update(layer["accuracy_param"])
-    if ltype == "VideoData":
+    if ltype in ("VideoData", "Data", "ImageData", "WindowData"):
         opts["transform"] = dict(layer.get("transform_param", {}))
     # preserve full NetStateRules (stage / not_stage / min/max_level) for
     # GraphSpec.filtered; plain phase-only rules don't need this

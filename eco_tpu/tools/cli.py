@@ -48,11 +48,48 @@ def _build_graph(args, *, with_loss: bool):
 
 
 def _data_cfg_from_graph(graph, phase: str, list_override=None, args=None):
-    """VideoDataConfig from the graph's VideoData layer, or a default config
-    built from CLI args when the graph has none (--zoo graphs)."""
+    """VideoDataConfig from the graph's VideoData layer, DBDataConfig from a
+    classic ``Data`` layer (LMDB/LevelDB), or a default config built from
+    CLI args when the graph has none (--zoo graphs)."""
     from eco_tpu.data import TransformConfig, VideoDataConfig
 
     for l in graph.layers:
+        if l.type == "data" and l.phase in (None, phase):
+            # classic Data layer (data_layer.cpp): Datum database cursor.
+            # mean_file (a BlobProto mean image) reduces to per-channel
+            # means -- the transform plane is per-channel, and ECO-era
+            # practice (and the reference's own video graphs) is
+            # mean_value anyway.
+            from eco_tpu.data.db import DBDataConfig
+
+            t = dict(l.opt("transform", {}) or {})
+            if "mean_file" in t:
+                from eco_tpu.convert.caffemodel import load_blobproto
+
+                mimg = load_blobproto(str(t["mean_file"]))
+                mv = tuple(
+                    float(m) for m in
+                    mimg.reshape(mimg.shape[0], -1).mean(axis=1)
+                ) if mimg.ndim >= 3 else tuple(float(m) for m in mimg.ravel())
+            else:
+                mv = t.get("mean_value", (0.0,))
+                if not isinstance(mv, (list, tuple)):
+                    mv = (mv,)
+            crop = int(t.get("crop_size", 0))
+            tc = TransformConfig(
+                crop_size=crop,
+                mirror=bool(t.get("mirror", False)),
+                fix_crop=False, more_fix_crop=False, multi_scale=False,
+                mean_values=tuple(float(m) for m in mv),
+                scale=float(t.get("scale", 1.0)),
+            )
+            backend = str(l.opt("backend", "")).lower() or None
+            return DBDataConfig(
+                source=list_override or str(l.opt("source", "")),
+                batch_size=int(l.opt("batch_size", 8)),
+                backend=backend,
+                transform=tc,
+            )
         if l.type == "videodata" and l.phase in (None, phase):
             t = dict(l.opt("transform", {}) or {})
             mv = t.get("mean_value", (104, 117, 123))
@@ -111,6 +148,16 @@ def _make_pipeline(args, dcfg, *, train, seed=0, rank=0, world=1):
     from eco_tpu.data import VideoPipeline
 
     kind = getattr(args, "pipeline", "python") or "python"
+    from eco_tpu.data.db import DBDataConfig, DBPipeline
+
+    if isinstance(dcfg, DBDataConfig):
+        if kind not in ("python", None):
+            raise SystemExit(
+                f"--pipeline {kind} does not apply to LMDB/LevelDB Data "
+                "layers (host-decoded Datum records); drop the flag"
+            )
+        return DBPipeline(dcfg, train=train, seed=seed, rank=rank,
+                          world=world)
     if kind in ("raw", "native-raw"):
         if not (dcfg.new_height and dcfg.new_width):
             # raw mode needs fixed decode size; the reference standard

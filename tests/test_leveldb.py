@@ -302,3 +302,98 @@ def test_open_db_dispatch(tmp_path):
     (tmp_path / "plain").mkdir()
     with pytest.raises(ValueError):
         open_db(str(tmp_path / "plain"))  # neither backend sniffs
+
+
+NET_DB = """
+name: "tinydb"
+layer { name: "data" type: "Data" top: "data" top: "label"
+  data_param { source: "%s" batch_size: 4 backend: LEVELDB }
+  transform_param { crop_size: 8 mirror: true
+    mean_value: 104 mean_value: 117 mean_value: 123 }
+  include { phase: TRAIN } }
+layer { name: "data" type: "Data" top: "data" top: "label"
+  data_param { source: "%s" batch_size: 4 backend: LEVELDB }
+  transform_param { crop_size: 8
+    mean_value: 104 mean_value: 117 mean_value: 123 }
+  include { phase: TEST } }
+layer { name: "conv1" type: "Convolution" bottom: "data" top: "conv1"
+  convolution_param { num_output: 4 kernel_size: 3 stride: 1 pad: 1 } }
+layer { name: "relu1" type: "ReLU" bottom: "conv1" top: "conv1" }
+layer { name: "gp" type: "Pooling" bottom: "conv1" top: "gp"
+  pooling_param { pool: AVE kernel_size: 8 stride: 1 } }
+layer { name: "rsh" type: "Reshape" bottom: "gp" top: "feat"
+  reshape_param { shape { dim: -1 dim: 4 } } }
+layer { name: "fc" type: "InnerProduct" bottom: "feat" top: "fc"
+  inner_product_param { num_output: 3 } }
+layer { name: "loss" type: "SoftmaxWithLoss" bottom: "fc" bottom: "label"
+  top: "loss" }
+layer { name: "top1" type: "Accuracy" bottom: "fc" bottom: "label"
+  top: "top1" include { phase: TEST } }
+"""
+
+SOLVER_DB = """
+net: "%s"
+base_lr: 0.01
+lr_policy: "fixed"
+momentum: 0.9
+max_iter: 2
+iter_size: 1
+display: 1
+snapshot: 2
+snapshot_prefix: "%s"
+random_seed: 3
+"""
+
+
+def _datum_db(tmp_path, n=12, hw=12):
+    rng = np.random.default_rng(1)
+    recs = []
+    for i in range(n):
+        arr = rng.integers(0, 255, (3, hw, hw), dtype=np.uint8)
+        recs.append((b"%08d" % i, i + 1, T_VALUE,
+                     _datum_bytes(3, hw, hw, arr.tobytes(), i % 3)))
+    return _write_db(tmp_path, [recs])
+
+
+def test_db_pipeline_classic_transform(tmp_path):
+    """DBPipeline: crop/mirror/mean on Datum records (data_transformer.cpp
+    classic path), train vs test crop determinism."""
+    from eco_tpu.data.db import DBDataConfig, DBPipeline
+    from eco_tpu.data.transform import TransformConfig
+
+    path = _datum_db(tmp_path)
+    cfg = DBDataConfig(
+        source=path, batch_size=4,
+        transform=TransformConfig(
+            crop_size=8, mirror=True, fix_crop=False, more_fix_crop=False,
+            multi_scale=False, mean_values=(104.0, 117.0, 123.0),
+        ),
+    )
+    b = DBPipeline(cfg, train=True, seed=0).next_batch()
+    assert b["data"].shape == (4, 8, 8, 3)
+    assert b["data"].dtype == np.float32
+    assert list(b["label"]) == [0, 1, 2, 0]
+    # test phase: center crop, deterministic across pipelines
+    t1 = DBPipeline(cfg, train=False, seed=0).next_batch()
+    t2 = DBPipeline(cfg, train=False, seed=99).next_batch()
+    np.testing.assert_array_equal(t1["data"], t2["data"])
+    # crop_size 0: full image, mean-subtracted only
+    cfg0 = DBDataConfig(source=path, batch_size=2)
+    b0 = DBPipeline(cfg0, train=False).next_batch()
+    assert b0["data"].shape == (2, 12, 12, 3)
+
+
+@pytest.mark.slow
+def test_cli_train_classic_data_layer(tmp_path):
+    """eco train on an unmodified classic-Caffe prototxt whose input is a
+    LevelDB-backed Data layer (data_layer.cpp + db.cpp end to end)."""
+    from eco_tpu.tools.cli import main
+
+    path = _datum_db(tmp_path)
+    net = tmp_path / "net.prototxt"
+    net.write_text(NET_DB % (path, path))
+    solver = tmp_path / "solver.prototxt"
+    solver.write_text(SOLVER_DB % (net, tmp_path / "snap"))
+    main(["train", "--solver", str(solver), "--net", str(net)])
+    main(["test", "--net", str(net), "--iterations", "2",
+          "--weights", str(tmp_path / "snap_iter_2.model.npz")])
