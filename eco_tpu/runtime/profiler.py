@@ -40,6 +40,40 @@ def _run_collect(program, params, state, inputs, *, rng=None):
     return blobs
 
 
+def _make_timing_loop(fn, treedef, f_idxs):
+    """Build the jitted K-iteration timing loop for :func:`_device_loop_ms`.
+
+    ``run(n, *leaves)`` executes ``fn`` n times in an on-device
+    ``lax.fori_loop``.  EVERY float leaf (``f_idxs``) is perturbed by the
+    loop carry so that no operand of ``fn`` is loop-invariant -- otherwise
+    XLA's licm hoists the expensive op out of the loop and the loop times
+    only the cheap remainder (see the hoisting post-mortem in
+    :func:`_device_loop_ms`).  Factored out module-level so the HLO
+    regression test can compile it standalone and assert the convolution
+    stays inside the while-loop body.
+    """
+    import functools
+
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def run(n, *leaves):
+        def body(i, acc):
+            ls = list(leaves)
+            for j in f_idxs:
+                ls[j] = ls[j] + acc.astype(ls[j].dtype)
+            outs = fn(*jax.tree.unflatten(treedef, ls))
+            tot = sum(
+                jnp.sum(o.astype(jnp.float32))
+                for o in jax.tree.leaves(outs)
+            )
+            return acc + tot * jnp.float32(1e-30)
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+    return run
+
+
 def _device_loop_ms(fn, args, iters: int) -> float:
     """K-vs-1 difference timing: run ``fn`` inside an on-device
     ``lax.fori_loop`` of n iterations (one dispatch + one scalar fetch per
@@ -48,20 +82,33 @@ def _device_loop_ms(fn, args, iters: int) -> float:
     This removes the fixed per-call host round-trip, which through a remote
     relay (~30 ms/fetch) otherwise dominates every layer under a few ms --
     the host-loop method reports dispatch latency, not compute.  The loop
-    body perturbs its first float input with the carry so XLA cannot hoist
-    the (otherwise loop-invariant) computation out of the loop.
+    body perturbs EVERY float input with the carry so no operand is
+    loop-invariant.
+
+    Perturbing only ONE leaf is not enough: jax.tree.flatten sorts dict
+    keys, so for a folded conv ({"b", "w"}) the first float leaf is the
+    bias -- the body becomes ``conv(x, w) + (b + acc)`` and XLA's
+    loop-invariant code motion hoists the conv out of the while loop,
+    timing only the broadcast add (measured round 5 on ECO-Full's 3D head:
+    res4a_1 0.000 ms, res3b_1 0.231 ms vs a 486 GF physical floor of
+    ~2.5 ms; conv2_3x3 reported exactly its output-sized add, 2.285 ms ==
+    925 MB read+write).  With x, w, AND b all carrying ``acc``, the conv
+    depends on the carry through both operands and cannot be hoisted or
+    algebraically split without a bilinear expansion XLA does not do.
+    The added perturbation work fuses into each operand's existing read,
+    so measured times are unchanged for layers that were timed honestly
+    before (pinned by test_profiler_keeps_conv_in_loop).
     """
     import functools
 
     import jax.numpy as jnp
 
     leaves, treedef = jax.tree.flatten(args)
-    f_idx = next(
-        (i for i, l in enumerate(leaves)
-         if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.inexact)),
-        None,
-    )
-    if f_idx is None:
+    f_idxs = [
+        i for i, l in enumerate(leaves)
+        if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.inexact)
+    ]
+    if not f_idxs:
         # No float leaf to perturb -> the loop body would be loop-invariant
         # and XLA would hoist it, reporting ~0 ms.  Fall back to host-loop
         # timing with a scalar-fetch barrier per call (includes dispatch
@@ -78,20 +125,7 @@ def _device_loop_ms(fn, args, iters: int) -> float:
             float(run1(*leaves))
         return (time.perf_counter() - t0) / max(iters, 2) * 1e3
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def run(n, *leaves):
-        def body(i, acc):
-            ls = list(leaves)
-            if f_idx is not None:
-                ls[f_idx] = ls[f_idx] + acc.astype(ls[f_idx].dtype)
-            outs = fn(*jax.tree.unflatten(treedef, ls))
-            tot = sum(
-                jnp.sum(o.astype(jnp.float32))
-                for o in jax.tree.leaves(outs)
-            )
-            return acc + tot * jnp.float32(1e-30)
-
-        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+    run = _make_timing_loop(fn, treedef, f_idxs)
 
     def timed(n):
         # float() scalar fetch, NOT block_until_ready: through the axon

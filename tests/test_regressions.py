@@ -368,6 +368,62 @@ def test_time_layers_device_loop_method():
     assert all(np.isfinite(r[2]) and r[2] >= 0 for r in rows)
 
 
+def test_profiler_keeps_conv_in_loop():
+    """The device-loop timer must perturb EVERY float leaf.
+
+    With only one leaf perturbed (dict-sorted order puts a folded conv's
+    bias "b" before its weight "w"), the loop body is conv(x, w) + (b+acc):
+    the conv is loop-invariant, XLA hoists it out of the while loop, and
+    the timer reports only the broadcast add (measured round 5: res4a_1
+    0.000 ms, conv2_3x3 exactly its output-add bandwidth).  Pin at the
+    HLO level: the convolution must appear inside the while-body
+    computation, never in ENTRY."""
+    from eco_tpu.runtime.profiler import _make_timing_loop
+
+    def conv_fn(args):
+        x, p = args
+        y = jax.lax.conv_general_dilated(
+            x, p["w"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + p["b"]
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 4, 4)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((4,)), jnp.float32)
+    leaves, treedef = jax.tree.flatten(((x, {"b": b, "w": w}),))
+    # flatten order: x, b, w -- exactly the folded-conv layout that bit us.
+    assert [l.shape for l in leaves] == [x.shape, b.shape, w.shape]
+
+    def computations_with_conv(f_idxs):
+        run = _make_timing_loop(lambda *a: conv_fn(a[0]), treedef, f_idxs)
+        txt = run.lower(3, *leaves).compile().as_text()
+        # Computation headers sit at column 0 ("%name (...) -> ... {" or
+        # "ENTRY %name ..."); instructions are indented.  Don't key off
+        # "{"/"->" -- a conv instruction line contains both (layout braces,
+        # dim_labels b01f_01io->b01f).
+        found, name = set(), None
+        for line in txt.splitlines():
+            if line and not line[0].isspace() and (
+                    line.startswith("%") or line.startswith("ENTRY")):
+                name = line.split("(")[0].strip()
+            elif name is not None and " convolution(" in line:
+                found.add(name)
+        return sorted(found)
+
+    good = computations_with_conv([0, 1, 2])  # production: all float leaves
+    assert good, "conv vanished from the compiled module entirely"
+    assert not any(n.startswith("ENTRY") for n in good), (
+        "conv hoisted out of the timing loop even with all leaves perturbed")
+
+    # And the failure mode stays real: bias-only perturbation lets XLA
+    # hoist the conv to ENTRY (if XLA ever stops doing licm here, this
+    # arm tells us the guard is no longer load-bearing).
+    bad = computations_with_conv([1])
+    assert any(n.startswith("ENTRY") for n in bad), (
+        "expected the bias-only loop to hoist the conv; XLA licm changed")
+
+
 def test_param_sharing_export_resolves_aliases(tmp_path):
     """export_caffe_weights must write the shared owner's blobs on EVERY
     sharing layer -- Caffe stores blobs per layer even under param{name}."""
