@@ -74,10 +74,19 @@ def _make_timing_loop(fn, treedef, f_idxs):
     return run
 
 
-def _device_loop_ms(fn, args, iters: int) -> float:
+def _device_loop_ms(fn, args, iters: int, repeats: int = 1) -> float:
     """K-vs-1 difference timing: run ``fn`` inside an on-device
     ``lax.fori_loop`` of n iterations (one dispatch + one scalar fetch per
     measurement) and report (T(K) - T(1)) / (K - 1).
+
+    ``repeats`` > 1 measures each ENDPOINT that many times and differences
+    the per-endpoint minima: min(T(K)) - min(T(1)).  Taking the min of the
+    K-vs-1 DIFFERENCES instead is negatively biased -- it selects exactly
+    the samples where a transport hiccup inflated T(1) (measured round 5:
+    ECO-Full's conv2_3x3 at 2.227 ms == 239 TF/s, above the 197 TF/s chip
+    peak; the honest endpoint-min gives 3.3 ms).  The per-endpoint min is
+    the standard hiccup-immune estimator: noise on this relay is one-sided
+    (delays only), so the minimum converges on the true time.
 
     This removes the fixed per-call host round-trip, which through a remote
     relay (~30 ms/fetch) otherwise dominates every layer under a few ms --
@@ -137,8 +146,9 @@ def _device_loop_ms(fn, args, iters: int) -> float:
         float(run(n, *leaves))
         return time.perf_counter() - t0
 
-    t1 = timed(1)
-    tk = timed(max(iters, 2) + 1)
+    r = max(repeats, 1)
+    t1 = min(timed(1) for _ in range(r))
+    tk = min(timed(max(iters, 2) + 1) for _ in range(r))
     return max(tk - t1, 0.0) / max(iters, 2) * 1e3
 
 
@@ -165,9 +175,10 @@ def time_layers(
     ``method``: "host" times a host loop with a blocking fetch per call
     (fine locally; relay-dominated over remote transports), "device_loop"
     uses the K-vs-1 on-device fori_loop difference method, "auto" picks
-    device_loop on TPU and host elsewhere.  ``repeats`` > 1 takes the min
-    of that many device_loop measurements per layer -- use 2-3 on flaky
-    transports (a single hiccup otherwise inflates one layer's time).
+    device_loop on TPU and host elsewhere.  ``repeats`` > 1 measures each
+    loop endpoint that many times and differences the per-endpoint minima
+    -- use 2-3 on flaky transports (a single hiccup otherwise inflates or,
+    worse, DEFLATES one layer's time; see _device_loop_ms).
     """
     if rng is None and program.train:
         rng = jax.random.PRNGKey(0)
@@ -190,12 +201,9 @@ def time_layers(
 
     def bench(fn, args):
         if method == "device_loop":
-            # min over repeats: the K-vs-1 difference is exact in the mean
-            # but a single transport hiccup during the K-run shows up as a
-            # large spurious per-layer time; the min is hiccup-immune
-            return min(
-                _device_loop_ms(fn, args, iters) for _ in range(max(repeats, 1))
-            )
+            # repeats are differenced per ENDPOINT inside _device_loop_ms
+            # (min of the diffs themselves is negatively biased, see there)
+            return _device_loop_ms(fn, args, iters, repeats)
         for _ in range(warmup):
             out = fn(*args)
         jax.block_until_ready(out)

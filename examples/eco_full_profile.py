@@ -53,6 +53,8 @@ print(format_layer_times([r for r in rows if r[2] >= 0.2]))
 # 4a..5b + its pool/consensus; 3D head = res3a..res5b + global pool.
 def stage(name: str) -> str:
     n = name.lower()
+    if "global_pool2d" in n:  # the 2D tail's global pool, NOT the 3D head's
+        return "2d_tail"
     if any(k in n for k in ("res3", "res4", "res5", "global_pool")):
         return "3d_head"
     if any(k in n for k in ("4a", "4b", "4c", "4d", "4e", "5a", "5b",
