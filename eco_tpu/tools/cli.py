@@ -1037,8 +1037,9 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--iters", type=int, default=10)
     sp.add_argument("--repeats", type=int, default=1,
-                    help="min over N device-loop measurements per layer "
-                         "(2-3 suppresses transport hiccups)")
+                    help="measure each device-loop endpoint N times and "
+                         "difference the per-endpoint minima (2-3 "
+                         "suppresses transport hiccups)")
     sp.add_argument("--bf16", action="store_true")
     sp.add_argument("--method", default="auto",
                     choices=["auto", "host", "device_loop"],

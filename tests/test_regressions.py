@@ -424,6 +424,21 @@ def test_profiler_keeps_conv_in_loop():
         "expected the bias-only loop to hoist the conv; XLA licm changed")
 
 
+def test_device_loop_repeats_differences_endpoint_minima():
+    """repeats>1 must measure each K-vs-1 endpoint N times and difference
+    the minima; min of the differences is negatively biased (it selects
+    T(1)-inflated samples -- observed over-peak TF/s readings, see
+    docs/PERF_NOTES.md round-5 guardrail)."""
+    from eco_tpu.runtime.profiler import _device_loop_ms
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((64, 64)),
+                    jnp.float32)
+    w = jnp.asarray(np.random.default_rng(1).standard_normal((64, 64)),
+                    jnp.float32)
+    ms = _device_loop_ms(lambda a, b: a @ b, (x, w), 4, repeats=3)
+    assert np.isfinite(ms) and ms >= 0.0
+
+
 def test_param_sharing_export_resolves_aliases(tmp_path):
     """export_caffe_weights must write the shared owner's blobs on EVERY
     sharing layer -- Caffe stores blobs per layer even under param{name}."""
