@@ -316,8 +316,13 @@ def int8_input_rewrite(graph: GraphSpec, input_name: str = "data",
         hit = [b for b in l.bottoms if b in tracked]
         if not hit:
             # an unrelated producer overwriting a tracked name ends that
-            # name's tracked range (in-place tops rewrite blob names)
-            tracked.difference_update(l.tops)
+            # name's tracked range (in-place tops rewrite blob names) --
+            # EXCEPT a bottom-less layer, which IS the feed (a Data/
+            # VideoData/Input top in a train/val graph produces the input
+            # blob rather than overwriting it; untracking it here would
+            # silently no-op the whole rewrite on such graphs)
+            if l.bottoms:
+                tracked.difference_update(l.tops)
             continue
         if t in _Q_TYPES and l.bottoms[0] in tracked and len(hit) == 1:
             consumers.append(idx)

@@ -45,44 +45,45 @@ class DBPipeline:
 
     def __init__(self, cfg: DBDataConfig, *, train: bool, seed: int = 0,
                  rank: int = 0, world: int = 1):
-        from eco_tpu.data.leveldb import LevelDBSource, open_db
-        from eco_tpu.data.lmdb import LMDBReader, LMDBSource
+        from eco_tpu.data.leveldb import LevelDBSource, sniff_backend
+        from eco_tpu.data.lmdb import LMDBSource
 
         self.cfg = cfg
         self.train = train
         self._rng = np.random.default_rng(seed + rank)
-        backend = cfg.backend
-        if backend is None:
-            backend = (
-                "lmdb" if isinstance(open_db(cfg.source), LMDBReader)
-                else "leveldb"
-            )
+        backend = cfg.backend or sniff_backend(cfg.source)
         src_cls = {"lmdb": LMDBSource, "leveldb": LevelDBSource}[
             backend.lower()
         ]
+        tc = cfg.transform
+        per_sample = None
+        if tc.crop_size:
+            # The classic DataTransformer order (data_layer.cpp): crop/
+            # mirror/mean each datum BEFORE batching, so variable-size
+            # record databases stack fine once cropped.  Record dtype
+            # passes through untouched -- float_data Datums stay float32
+            # (a uint8 cast would wrap negatives), uint8 stays uint8 until
+            # transform_stack's float32 output.
+            def per_sample(img):
+                return transform_stack(
+                    img[None], tc, train=self.train, rng=self._rng
+                )[0]
         self._it = iter(src_cls(
-            cfg.source, batch_size=cfg.batch_size, rank=rank, world=world
+            cfg.source, batch_size=cfg.batch_size, rank=rank, world=world,
+            transform=per_sample,
         ))
 
     def next_batch(self) -> dict:
         raw = next(self._it)
         tc = self.cfg.transform
-        imgs = raw["data"]
-        if tc.crop_size:
-            out = np.stack([
-                transform_stack(
-                    img[None].astype(np.uint8), tc,
-                    train=self.train, rng=self._rng,
-                )[0]
-                for img in imgs
-            ])
-        else:
-            out = imgs.astype(np.float32)
-            if tc.mirror and self.train:
-                flip = self._rng.integers(0, 2, len(out)).astype(bool)
-                out[flip] = out[flip, :, ::-1]
-            out = (out - np.asarray(tc.mean_values[:out.shape[-1]],
-                                    np.float32)) * tc.scale
+        if tc.crop_size:  # per-sample transform already applied in-source
+            return {"data": raw["data"], "label": raw["label"]}
+        out = raw["data"].astype(np.float32)
+        if tc.mirror and self.train:
+            flip = self._rng.integers(0, 2, len(out)).astype(bool)
+            out[flip] = out[flip, :, ::-1]
+        out = (out - np.asarray(tc.mean_values[:out.shape[-1]],
+                                np.float32)) * tc.scale
         return {"data": out, "label": raw["label"]}
 
     def close(self):

@@ -42,7 +42,11 @@ from typing import Iterator
 
 import numpy as np
 
-from eco_tpu.data.lmdb import Datum, parse_datum  # noqa: F401 (re-export)
+from eco_tpu.data.lmdb import (  # noqa: F401 (Datum re-exported)
+    Datum,
+    DatumBatchSource,
+    parse_datum,
+)
 
 _TABLE_MAGIC = 0xDB4775248B80FB57
 _BLOCK_SIZE = 32768  # log-format block
@@ -394,66 +398,60 @@ class LevelDBReader:
     def __len__(self) -> int:
         return sum(1 for _ in self.items())
 
+    def set_verify_crc(self, flag: bool):
+        """Toggle block-CRC verification on subsequent reads (tables are
+        re-read per iteration; the WAL/manifest were verified at open)."""
+        for t in self._tables:
+            t._verify = bool(flag)
 
-class LevelDBSource:
+
+class LevelDBSource(DatumBatchSource):
     """Batch iterator over a LevelDB Datum database -- ``Data`` layer plane
     with ``backend: LEVELDB`` (data_layer.cpp + db_leveldb.cpp).  Streaming
-    with O(batch) memory: skipped ranks' records advance the merge without
-    decoding, wrap-around restarts the cursor (SeekToFirst), matching
-    ``lmdb.LMDBSource``'s contract.
+    with O(batch) memory via the shared :class:`~eco_tpu.data.lmdb.
+    DatumBatchSource` contract: skipped ranks' records advance the merge
+    without decoding, wrap-around restarts the cursor (SeekToFirst).
+
+    CRC policy: blocks are checksum-verified on the FIRST full pass (the
+    reference's paranoid-checks read path), then re-verification is dropped
+    for wrap-around epochs -- the pure-Python crc32c would otherwise
+    re-verify every block of a tens-of-GB table once per epoch.
+    ``verify_crc=False`` skips even the first pass.
     """
 
     def __init__(self, path: str, *, batch_size: int, rank: int = 0,
-                 world: int = 1):
-        self.reader = LevelDBReader(path)
-        self.batch_size = batch_size
-        self.rank = rank
-        self.world = world
+                 world: int = 1, transform=None, verify_crc: bool = True):
+        super().__init__(
+            LevelDBReader(path, verify_crc=verify_crc),
+            batch_size=batch_size, rank=rank, world=world,
+            transform=transform,
+        )
 
-    def _values(self) -> Iterator[bytes]:
-        while True:
-            n = 0
-            for _, v in self.reader.items():
-                yield v
-                n += 1
-            if n == 0:
-                raise ValueError("empty LevelDB database")
+    def _epoch_end(self):
+        self.reader.set_verify_crc(False)
 
-    def __iter__(self):
-        vals = self._values()
-        for _ in range(self.rank * self.batch_size):
-            next(vals)
-        while True:
-            imgs, labels = [], []
-            for _ in range(self.batch_size):
-                d = parse_datum(next(vals))
-                imgs.append(d.array())
-                labels.append(d.label)
-            for _ in range((self.world - 1) * self.batch_size):
-                next(vals)
-            yield {
-                "data": np.stack(imgs),
-                "label": np.asarray(labels, np.int32),
-            }
+
+def sniff_backend(path: str) -> str:
+    """Identify a Datum database directory by its marker files
+    (``data.mdb`` -> ``"lmdb"``, ``CURRENT`` -> ``"leveldb"``) without
+    opening it -- one stat each, no reader construction."""
+    if os.path.exists(os.path.join(path, "data.mdb")) or not os.path.isdir(path):
+        return "lmdb"
+    if os.path.exists(os.path.join(path, "CURRENT")):
+        return "leveldb"
+    raise ValueError(f"{path}: neither an LMDB nor a LevelDB dir")
 
 
 def open_db(path: str, backend: str | None = None):
     """``db.cpp::GetDB`` dispatch: return the right reader for ``path``.
 
     ``backend`` forces ``"lmdb"``/``"leveldb"``; default sniffs the
-    directory (``data.mdb`` -> LMDB, ``CURRENT`` -> LevelDB), matching the
-    prototxt ``data_param.backend`` enum semantics.
+    directory (:func:`sniff_backend`), matching the prototxt
+    ``data_param.backend`` enum semantics.
     """
     from eco_tpu.data.lmdb import LMDBReader
 
-    if backend is None:
-        if os.path.exists(os.path.join(path, "data.mdb")) or not os.path.isdir(path):
-            backend = "lmdb"
-        elif os.path.exists(os.path.join(path, "CURRENT")):
-            backend = "leveldb"
-        else:
-            raise ValueError(f"{path}: neither an LMDB nor a LevelDB dir")
-    backend = backend.lower()
+    backend = (backend or sniff_backend(path)).lower()
     if backend == "lmdb":
         return LMDBReader(path)
     if backend == "leveldb":

@@ -219,29 +219,33 @@ class LMDBReader:
         self._f.close()
 
 
-class LMDBSource:
-    """Batch iterator over an LMDB Datum database -- the ``Data`` layer's
-    data plane (data_layer.cpp): sequential cursor, wrap-around, optional
-    rank sharding by cursor offset like every other source here.  Emits
-    {"data": (N, H, W, C) uint8, "label": (N,) int32} channels-last
-    batches.
+class DatumBatchSource:
+    """Shared cursor->batch plane for the classic ``Data`` layer backends
+    (data_layer.cpp): endless key-order value stream with wrap-around (the
+    cursor's MDB_FIRST/SeekToFirst reset), rank sharding by cursor offset
+    (base_data_layer.cpp), O(batch) memory.  Only the records a batch
+    consumes are decoded; records skipped by the rank stride advance the
+    cursor without parsing.  Subclasses supply ``reader`` (anything whose
+    ``.items()`` yields (key, value) in cursor order) and may override
+    ``_epoch_end`` (called after each complete pass).
 
-    STREAMING (round 5): the reference iterates a bounded-memory LMDB
-    cursor precisely because these datasets exceed host RAM (db_lmdb.cpp
-    Next()); this source mirrors that.  Only the records a batch consumes
-    are decoded; records skipped by the rank-sharding cursor stride advance
-    the B+-tree walk without parsing, and wrap-around rewinds the walk (the
-    cursor's MDB_FIRST reset) instead of caching the decoded dataset.
-    Memory stays O(batch_size), independent of database size; the mmap
-    behind the walk is file-backed page cache the OS can evict.
+    ``transform``: optional per-sample ``(H, W, C) array -> array`` applied
+    BEFORE batch stacking -- the reference's DataTransformer order
+    (data_layer.cpp transforms each datum into the batch blob), which is
+    what makes variable-size record databases work: a crop unifies shapes.
+    Without it, a mixed-shape batch raises with a pointer at ``crop_size``.
+    Emits {"data": (N, H, W, C), "label": (N,) int32} channels-last
+    batches; dtype follows the records (uint8, or float32 for
+    ``float_data`` Datums) and the transform.
     """
 
-    def __init__(self, path: str, *, batch_size: int, rank: int = 0,
-                 world: int = 1):
-        self.reader = LMDBReader(path)
+    def __init__(self, reader, *, batch_size: int, rank: int = 0,
+                 world: int = 1, transform=None):
+        self.reader = reader
         self.batch_size = batch_size
         self.rank = rank
         self.world = world
+        self.transform = transform
 
     def _values(self) -> Iterator[bytes]:
         """Endless raw Datum-value stream in cursor order, rewinding at the
@@ -252,7 +256,11 @@ class LMDBSource:
                 yield v
                 n += 1
             if n == 0:
-                raise ValueError("empty LMDB database")
+                raise ValueError("empty database")
+            self._epoch_end()
+
+    def _epoch_end(self):
+        """Hook after each full pass (e.g. drop CRC re-verification)."""
 
     def __iter__(self):
         vals = self._values()
@@ -262,11 +270,39 @@ class LMDBSource:
             imgs, labels = [], []
             for _ in range(self.batch_size):
                 d = parse_datum(next(vals))
-                imgs.append(d.array())
+                arr = d.array()
+                if self.transform is not None:
+                    arr = self.transform(arr)
+                imgs.append(arr)
                 labels.append(d.label)
             for _ in range((self.world - 1) * self.batch_size):
                 next(vals)
+            if len({a.shape for a in imgs}) > 1:
+                raise ValueError(
+                    "variable-size Datum records in one batch; set "
+                    "transform_param.crop_size so the per-sample crop "
+                    "unifies shapes before stacking (data_transformer.cpp)"
+                )
             yield {
                 "data": np.stack(imgs),
                 "label": np.asarray(labels, np.int32),
             }
+
+
+class LMDBSource(DatumBatchSource):
+    """``Data``-layer batches from an LMDB Datum database.
+
+    STREAMING (round 5): the reference iterates a bounded-memory LMDB
+    cursor precisely because these datasets exceed host RAM (db_lmdb.cpp
+    Next()); this source mirrors that via :class:`DatumBatchSource` --
+    wrap-around rewinds the B+-tree walk instead of caching the decoded
+    dataset, and the mmap behind the walk is file-backed page cache the
+    OS can evict.
+    """
+
+    def __init__(self, path: str, *, batch_size: int, rank: int = 0,
+                 world: int = 1, transform=None):
+        super().__init__(
+            LMDBReader(path), batch_size=batch_size, rank=rank,
+            world=world, transform=transform,
+        )

@@ -99,8 +99,17 @@ def parse_log(text: str) -> ParsedLog:
                 continue
             out.test["iters"].append(last_iter)
             out.test["seconds"].append(elapsed)
+            n = len(out.test["iters"])
             for k, v in kvs:
-                out.test.setdefault(k, []).append(float(v))
+                col = out.test.setdefault(k, [])
+                # metric first seen mid-log (e.g. a resumed run that added
+                # a top): backfill with nan so columns stay row-aligned
+                col.extend([float("nan")] * (n - 1 - len(col)))
+                col.append(float(v))
+    # metric absent from the last rows: pad to full length for zip()
+    n = len(out.test["iters"])
+    for col in out.test.values():
+        col.extend([float("nan")] * (n - len(col)))
     return out
 
 

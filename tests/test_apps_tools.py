@@ -800,3 +800,31 @@ def test_cli_online_frame_dir(tmp_path, capsys):
     with pytest.raises(SystemExit, match="exactly one"):
         main(["online", "--zoo", "eco_lite_kinetics", "--segments", "4",
               "--frames", str(d), "--camera", "0"])
+
+
+def test_logparse_ragged_test_metrics_stay_row_aligned():
+    """A metric appearing mid-log (resumed run that added a top, or two
+    concatenated runs) must not shift its column against iters/seconds --
+    missing cells become nan, zip()-truncation must not drop rows."""
+    import math
+
+    from eco_tpu.tools.logparse import parse_log
+
+    log = "\n".join([
+        "Iteration 10, loss = 1.0 (lr=1.00e-03, |g|=1.0, 1.0s)",
+        "Test: loss = 0.9",
+        "Iteration 20, loss = 0.8 (lr=1.00e-03, |g|=1.0, 1.0s)",
+        "Test: accuracy = 0.5, loss = 0.7",
+        "Iteration 30, loss = 0.6 (lr=1.00e-03, |g|=1.0, 1.0s)",
+        "Test: loss = 0.5",
+    ])
+    p = parse_log(log)
+    assert p.test["iters"] == [10, 20, 30]
+    assert p.test["loss"] == [0.9, 0.7, 0.5]
+    acc = p.test["accuracy"]
+    assert len(acc) == 3
+    assert math.isnan(acc[0]) and acc[1] == 0.5 and math.isnan(acc[2])
+    table = p.test_table().splitlines()
+    assert len(table) == 4  # header + all three rows survive zip()
+    # columns in first-seen order (loss, accuracy); seconds formatted %g
+    assert table[2].split() == ["20", "2", "0.7", "0.5"]

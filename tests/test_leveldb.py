@@ -397,3 +397,24 @@ def test_cli_train_classic_data_layer(tmp_path):
     main(["train", "--solver", str(solver), "--net", str(net)])
     main(["test", "--net", str(net), "--iterations", "2",
           "--weights", str(tmp_path / "snap_iter_2.model.npz")])
+
+
+def test_leveldb_source_drops_crc_after_first_epoch(tmp_path):
+    """Wrap-around epochs re-read every block; their checksums were
+    verified on epoch 1, so the pure-Python crc32c is dropped afterwards
+    (it would otherwise re-verify a tens-of-GB table once per epoch)."""
+    recs = [
+        (b"%02d" % i, i + 1, T_VALUE,
+         _datum_bytes(1, 2, 2, bytes([i] * 4), i))
+        for i in range(4)
+    ]
+    path = _write_db(tmp_path, [recs])
+    src = LevelDBSource(path, batch_size=2)
+    assert all(t._verify for t in src.reader._tables)
+    it = iter(src)
+    labels = [list(next(it)["label"]) for _ in range(3)]  # 1.5 epochs
+    assert labels == [[0, 1], [2, 3], [0, 1]]
+    assert not any(t._verify for t in src.reader._tables)
+    # corrupt-block detection still works on a FRESH source's first pass
+    src2 = LevelDBSource(path, batch_size=2, verify_crc=True)
+    assert all(t._verify for t in src2.reader._tables)

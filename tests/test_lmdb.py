@@ -257,3 +257,98 @@ def test_parse_datum_float_and_encoded():
     assert d.float_data == (0.0, 1.0, 2.0, 3.0, 4.0, 5.0)
     assert d.array().dtype == np.float32
     assert d.array().shape == (2, 3, 1)
+
+
+def _mixed_size_lmdb(tmp_path, datums):
+    """One leaf page holding the given serialized datums."""
+    items = [(b"%08d" % i, d, None) for i, d in enumerate(datums)]
+    leaf = _leaf_page(2, items)
+    f = tmp_path / "env"
+    f.mkdir()
+    (f / "data.mdb").write_bytes(
+        _meta_page(0, 2, len(items), txnid=1)
+        + _meta_page(1, 2, len(items), txnid=2)
+        + leaf
+    )
+    return str(f)
+
+
+def _tc(**kw):
+    from eco_tpu.data.transform import TransformConfig
+
+    base = dict(crop_size=0, mirror=False, fix_crop=False,
+                more_fix_crop=False, multi_scale=False,
+                mean_values=(0.0, 0.0, 0.0))
+    base.update(kw)
+    return TransformConfig(**base)
+
+
+def test_dbpipeline_variable_size_records_crop(tmp_path):
+    """The reference DataLayer crops each datum BEFORE batching
+    (data_layer.cpp -> data_transformer.cpp), so databases built by
+    convert_imageset WITHOUT -resize (legal when crop_size is set) must
+    work; without a crop the mixed-shape batch fails with a pointer at
+    crop_size instead of np.stack's shape error."""
+    from eco_tpu.data.db import DBDataConfig, DBPipeline
+
+    datums = [
+        _datum_bytes(3, 6 + 2 * i, 8 + i,
+                     bytes([i]) * (3 * (6 + 2 * i) * (8 + i)), i)
+        for i in range(3)
+    ]
+    path = _mixed_size_lmdb(tmp_path, datums)
+    pipe = DBPipeline(
+        DBDataConfig(source=path, batch_size=3, transform=_tc(crop_size=4)),
+        train=False,
+    )
+    b = pipe.next_batch()
+    assert b["data"].shape == (3, 4, 4, 3)
+    np.testing.assert_array_equal(b["label"], [0, 1, 2])
+    # per-record constant fill survives the center crop
+    np.testing.assert_array_equal(
+        b["data"], np.broadcast_to(
+            np.arange(3, dtype=np.float32)[:, None, None, None],
+            (3, 4, 4, 3),
+        )
+    )
+    # no crop: a clear error, not np.stack's
+    pipe0 = DBPipeline(
+        DBDataConfig(source=path, batch_size=3, transform=_tc()),
+        train=False,
+    )
+    with pytest.raises(ValueError, match="crop_size"):
+        pipe0.next_batch()
+
+
+def _float_datum_bytes(channels, h, w, values, label):
+    out = b""
+    out += bytes([0x08]) + _varint(channels)
+    out += bytes([0x10]) + _varint(h)
+    out += bytes([0x18]) + _varint(w)
+    payload = struct.pack(f"<{len(values)}f", *values)
+    out += bytes([0x32]) + _varint(len(payload)) + payload  # field 6 packed
+    out += bytes([0x28]) + _varint(label)
+    return out
+
+
+def test_dbpipeline_float_data_crop_preserves_dtype(tmp_path):
+    """float_data Datums (negative/fractional values) must reach the crop
+    path unclipped -- a uint8 cast would wrap -5.25 to 250.75's uint8
+    neighborhood (io.cpp float_data semantics)."""
+    from eco_tpu.data.db import DBDataConfig, DBPipeline
+
+    vals = [-5.25 + 0.5 * k for k in range(1 * 6 * 6)]
+    path = _mixed_size_lmdb(
+        tmp_path, [_float_datum_bytes(1, 6, 6, vals, 3)]
+    )
+    pipe = DBPipeline(
+        DBDataConfig(source=path, batch_size=1,
+                     transform=_tc(crop_size=6, mean_values=(0.0,))),
+        train=False,
+    )
+    b = pipe.next_batch()
+    chw = np.asarray(vals, np.float32).reshape(1, 6, 6)
+    np.testing.assert_allclose(
+        b["data"][0], np.transpose(chw, (1, 2, 0)), rtol=0, atol=0
+    )
+    assert float(b["data"].min()) == -5.25

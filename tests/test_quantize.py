@@ -479,3 +479,29 @@ def test_chain_int8_respects_float_consumer_boundary():
     out = np.asarray(q.apply(p, s, data)[0]["p"])
     ref = np.asarray(prog.apply(params, state, data)[0]["p"])
     np.testing.assert_allclose(out, ref, atol=0.05)
+
+
+def test_int8_input_rewrite_data_layer_top():
+    """A train/val-style graph has no declared inputs -- 'data' is a
+    bottom-less Data/VideoData layer's TOP.  The producer must not end the
+    tracked range (it IS the feed), or the wire-int8 plane silently no-ops
+    on exactly the graphs eco aot --int8 --uint8 serves."""
+    from eco_tpu.convert.quantize import int8_input_rewrite
+
+    g = _small_video_graph(with_loss=False)
+    prog = Program(g, train=False)
+    rng = np.random.default_rng(21)
+    data = jnp.asarray(rng.standard_normal((8, 4, 16, 16, 3)) * 100,
+                       jnp.float32)
+    params, state = prog.init(jax.random.PRNGKey(0), {"data": data})
+    qprog, _, _, _ = quantize_for_serving(prog, params, state,
+                                          [{"data": data}])
+    fed = GraphSpec(
+        name="fed", inputs={},
+        layers=[LayerSpec("feed", "videodata", (), ("data", "label"), {})]
+        + list(qprog.graph.layers),
+    )
+    g2, scale = int8_input_rewrite(fed)
+    assert scale is not None and scale > 0
+    conv1 = next(l for l in g2.layers if l.name == "conv1")
+    assert conv1.opt("act_scale") == pytest.approx(scale)
