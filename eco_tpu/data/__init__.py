@@ -16,6 +16,17 @@ from eco_tpu.data.transform import (
 from eco_tpu.data.pipeline import VideoDataConfig, VideoPipeline
 from eco_tpu.data.window import WindowSource, crop_window, parse_window_file
 from eco_tpu.data.seg import SegSource, parse_seg_list, transform_seg
-from eco_tpu.data.leveldb import LevelDBReader, LevelDBSource, open_db
-from eco_tpu.data.lmdb import Datum, LMDBReader, LMDBSource, parse_datum
+from eco_tpu.data.leveldb import (
+    LevelDBReader,
+    LevelDBSource,
+    open_db,
+    sniff_backend,
+)
+from eco_tpu.data.lmdb import (
+    Datum,
+    DatumBatchSource,
+    LMDBReader,
+    LMDBSource,
+    parse_datum,
+)
 from eco_tpu.data.device_prefetch import prefetch_to_device
